@@ -1,0 +1,108 @@
+"""Packet culling: conservative (ray chunk) x (page AABB) visibility masks.
+
+TPU-native replacement for the reference's per-ray octree query
+`get_all_objects_for_ray` (raytrace.rs:1052-1077), which walks the tree on the
+host for EVERY ray to build its ordered page list — fine for 64x64 images,
+hopeless for 3.7M rays/wave.  Here culling is done at ray-CHUNK granularity
+(one chunk = one kernel grid block of RB rays) with interval arithmetic:
+
+  A chunk is summarized by its origin AABB [olo, ohi] and direction AABB
+  [dlo, dhi].  A page with AABB [blo, bhi] survives iff some ray
+  (o in obox, d in dbox, t >= 0) can enter the Minkowski-expanded box
+  B' = [blo - ohi, bhi - olo] — tested per axis by computing the interval of
+  admissible t values and intersecting the three intervals.
+
+The test is CONSERVATIVE (never discards a page any chunk ray could hit), so
+the culled nearest-hit equals the brute-force result exactly; false positives
+only cost compute.  Primary-ray chunks are camera tiles (tight cones -> strong
+culling); bounce chunks benefit from compaction-time ray sorting.
+
+Runs as pure XLA (the [NC, NP] problem is tiny next to intersection).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+F32 = jnp.float32
+INF = jnp.inf
+
+
+def chunk_bounds(o, d, valid, ray_chunk: int):
+    """Per-chunk origin/direction AABBs.  o, d: [R, 3] (R = NC * RB),
+    valid: [R] bool — invalid (dead/padding) rays are excluded from bounds.
+
+    Returns (olo, ohi, dlo, dhi): each [NC, 3].  A chunk with no valid rays
+    gets inverted bounds (+inf lo / -inf hi) -> every page test fails.
+    """
+    R = o.shape[0]
+    NC = R // ray_chunk
+    o = o.reshape(NC, ray_chunk, 3)
+    d = d.reshape(NC, ray_chunk, 3)
+    v = valid.reshape(NC, ray_chunk, 1)
+
+    big = jnp.asarray(INF, F32)
+    olo = jnp.min(jnp.where(v, o, big), axis=1)
+    ohi = jnp.max(jnp.where(v, o, -big), axis=1)
+    dlo = jnp.min(jnp.where(v, d, big), axis=1)
+    dhi = jnp.max(jnp.where(v, d, -big), axis=1)
+    return olo, ohi, dlo, dhi
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cull_mask(olo, ohi, dlo, dhi, blo, bhi):
+    """[NC, NP] bool: chunk may hit page.
+
+    Per axis, the admissible t interval for t*d_k to reach
+    B'_k = [blo_k - ohi_k, bhi_k - olo_k] with d_k in [dlo_k, dhi_k]:
+      - 0 in B'_k                -> [0, inf)   (origin box already overlaps)
+      - B'_k > 0: needs d_k > 0  -> [B'lo/dhi, B'hi/dlo or inf]
+      - B'_k < 0: needs d_k < 0  -> [B'hi/dlo, B'lo/dhi or inf]
+    Chunk hits page iff the three intervals intersect.
+    """
+    # [NC, 1, 3] vs [1, NP, 3]
+    blo_e = blo[None, :, :] - ohi[:, None, :]
+    bhi_e = bhi[None, :, :] - olo[:, None, :]
+    dlo_e = jnp.broadcast_to(dlo[:, None, :], blo_e.shape)
+    dhi_e = jnp.broadcast_to(dhi[:, None, :], blo_e.shape)
+
+    overlap0 = (blo_e <= 0) & (bhi_e >= 0)
+
+    # positive side: B'lo > 0
+    pos_ok = dhi_e > 0
+    pos_tlo = blo_e / dhi_e
+    pos_thi = jnp.where(dlo_e > 0, bhi_e / dlo_e, INF)
+
+    # negative side: B'hi < 0
+    neg_ok = dlo_e < 0
+    neg_tlo = bhi_e / dlo_e
+    neg_thi = jnp.where(dhi_e < 0, blo_e / dhi_e, INF)
+
+    pos_case = blo_e > 0
+    neg_case = bhi_e < 0
+
+    feasible = jnp.where(overlap0, True,
+                         jnp.where(pos_case, pos_ok, neg_ok))
+    tlo = jnp.where(overlap0, 0.0, jnp.where(pos_case, pos_tlo, neg_tlo))
+    thi = jnp.where(overlap0, INF, jnp.where(pos_case, pos_thi, neg_thi))
+    tlo = jnp.where(feasible, tlo, INF)
+    thi = jnp.where(feasible, thi, -INF)
+
+    tmin = jnp.max(tlo, axis=-1)
+    tmax = jnp.min(thi, axis=-1)
+    return (tmin <= tmax) & jnp.all(feasible, axis=-1)
+
+
+def ray_aabb_hits(o, d, blo, bhi):
+    """Exact per-ray slab test [R, NP] (test oracle for cull_mask's
+    conservativeness; the reference slab test is BoundingBox::collides,
+    raytrace.rs:861-907)."""
+    inv = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
+    t1 = (blo[None] - o[:, None]) * inv[:, None]     # [R, NP, 3]
+    t2 = (bhi[None] - o[:, None]) * inv[:, None]
+    tlo = jnp.minimum(t1, t2)
+    thi = jnp.maximum(t1, t2)
+    tmin = jnp.max(tlo, axis=-1)
+    tmax = jnp.min(thi, axis=-1)
+    return (tmin <= tmax) & (tmax >= 0)

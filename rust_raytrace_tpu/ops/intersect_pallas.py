@@ -1,39 +1,36 @@
-"""Pallas TPU nearest-hit kernel — the hot loop of the renderer.
+"""Pallas TPU nearest-hit kernels — the hot loop of the renderer.
 
 TPU-native redesign of the reference CUDA kernel `cuda_triangle_intersect`
 (cuda_raytrace_lib/src/cuda_rt.cu:145-324).  The CUDA kernel maps 1 block = 1
 ray and 1 thread = 1 candidate triangle with a shared-memory log2 min-tree; on
-TPU a grid cell is a (ray chunk x triangle page) TILE: plane-hit and half-plane
-terms are rank-1 broadcast FMAs on the 8x128 VPU over the whole [P, RB] tile,
-and the min-reduction folds first along sublanes (within the page) then across
-pages into a running best that lives in the output block (revisited across the
-inner grid dimension).
+TPU a grid cell is a (ray chunk x triangle page) TILE: the plane-hit and
+half-plane terms are rank-1 broadcast FMAs on the 8x128 VPU over a [P, RB]
+tile — triangles on SUBLANES, rays on LANES, so the min-reduction over
+candidates folds across sublanes in a handful of full-width vector ops
+(the lane-major orientation measured ~5x slower).
 
 Why no MXU: the contractions here are K=3 (xyz), and fp32 HIGHEST-precision
 matmul on the MXU pads K to a full systolic pass x multiple bf16 passes —
 measured ~15x slower than the VPU broadcast form for this shape.
 
-Why no bounding-circle test: the reference CPU path's `ip.len2() > bounding_r2`
-reject (raytrace.rs:410) is an early-out only — every true hit lies inside the
-triangle's corner-circumscribing circle, so the three half-plane tests alone
-decide correctly (the reference's own CUDA kernel omits the circle test too,
-cuda_rt.cu:166-256, and its Rust oracle neutralizes it with r2=1000 at
-cuda_raytrace.rs:145).  Degenerate cases: t=+inf (ray parallel to plane) is
-rejected because the weighted inward normals of a triangle sum to zero, so at
-least one dist_k -> +inf; t=NaN fails `t >= 0`.
+Why no bounding-circle test: see ops/pages.py (the reference's own CUDA kernel
+omits it too, cuda_rt.cu:166-256).
 
 Unlike the reference host path, which re-marshals and re-uploads every cycle's
 triangle pages (its measured bottleneck — cuda_rt.cu:341-398 vs the 4-phase
-timers at :432-440), all pages stay resident in HBM and BlockSpecs stream them
-through VMEM with automatic double buffering.
+timers at :432-440), all pages stay resident in HBM and are streamed through
+VMEM — by BlockSpecs (dense variant) or by explicit double-buffered DMA over
+per-chunk surviving-page lists (`nearest_hit_pallas_pages`, the production
+variant; its page lists are device arrays, so multi-wave renders run with zero
+host round trips).
 
 Layout (f32 VMEM tiling is (8,128)):
-  rays as [3, R]      — xyz on sublanes (padded to 8), rays on lanes;
-  G    as [5P, 3]     — attribute-major feature rows [norm|s0'|s1'|s2'|center],
-                        each attribute a natural [P, 1]-sliceable block;
-  AUXT as [P, 8]      — per-triangle scalars, sliced as [P, 1] columns that
-                        broadcast along lanes;
-  outputs as [NC*8, RB] — 8 sublane rows per ray chunk (row 0 is the result).
+  rays as [3, R]       — xyz on sublanes (block covers the full dim), rays on
+                         lanes; R a multiple of the 128-lane tile;
+  pages as PK [NP, P, 128] — packed features (ops/pages.py): every per-
+                         triangle quantity is a natural [P, 1] column slice;
+  outputs as [NC, 8, RB] — running best kept in [P?]-free scratch [8, RB] and
+                         broadcast across the 8 sublane rows (row 0 read back).
 
 Miss sentinel: best_id 0 and best_t +inf (contract of cuda_rt.cu:313-323).
 """
@@ -45,48 +42,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pages import (LANE_ID, LANE_N, LANE_NC, LANE_S0, LANE_S0C, LANE_S1,
+                    LANE_S1C, LANE_S2, LANE_S2C)
+
 F32 = jnp.float32
 
 DEFAULT_RAY_CHUNK = 1024
 
 
-def _kernel(o_ref, d_ref, g_ref, aux_ref, t_ref, id_ref, *, page_size: int):
-    P = page_size
-    j = pl.program_id(1)
+def _predicate_update(pk, o_ref, d_ref, t_ref, id_ref, page_size: int):
+    """One (page x ray chunk) tile: hit predicate + running-min update.
 
-    @pl.when(j == 0)
-    def _init():
-        t_ref[:] = jnp.full_like(t_ref, jnp.inf)
-        id_ref[:] = jnp.zeros_like(id_ref)
-
-    g = g_ref[0]            # [5P, 3]
-    aux = aux_ref[0]        # [P, 8]
-
+    pk: [P, 128] packed page (VMEM value).  o_ref/d_ref: [3, RB] ray blocks.
+    t_ref/id_ref: [.., 8, RB] running best output blocks (all sublane rows
+    carry the same values; [1, RB] page results broadcast right-aligned).
+    """
     o0, o1, o2 = (o_ref[k:k + 1, :] for k in range(3))   # [1, RB] rows
     d0r, d1r, d2r = (d_ref[k:k + 1, :] for k in range(3))
 
-    def matvec(a, r0, r1, r2):
-        """g rows for attribute a (natural [P,1] slices) x ray rows -> [P, RB]."""
-        blk = g[a * P:(a + 1) * P]
-        return blk[:, 0:1] * r0 + blk[:, 1:2] * r1 + blk[:, 2:3] * r2
+    def col(lane):
+        return pk[:, lane:lane + 1]                      # [P, 1]
 
-    mo_n = matvec(0, o0, o1, o2)
-    md_n = matvec(0, d0r, d1r, d2r)
-    t = (aux[:, 0:1] - mo_n) / md_n                         # [P, RB]
+    def dot3(lane, r0, r1, r2):                          # [P, RB]
+        return col(lane) * r0 + col(lane + 1) * r1 + col(lane + 2) * r2
 
-    d0 = matvec(1, o0, o1, o2) + t * matvec(1, d0r, d1r, d2r) - aux[:, 1:2]
-    d1 = matvec(2, o0, o1, o2) + t * matvec(2, d0r, d1r, d2r) - aux[:, 2:3]
-    d2 = matvec(3, o0, o1, o2) + t * matvec(3, d0r, d1r, d2r) - aux[:, 3:4]
+    t = (col(LANE_NC) - dot3(LANE_N, o0, o1, o2)) / dot3(LANE_N, d0r, d1r, d2r)
+    d0 = dot3(LANE_S0, o0, o1, o2) + t * dot3(LANE_S0, d0r, d1r, d2r) - col(LANE_S0C)
+    d1 = dot3(LANE_S1, o0, o1, o2) + t * dot3(LANE_S1, d0r, d1r, d2r) - col(LANE_S1C)
+    d2 = dot3(LANE_S2, o0, o1, o2) + t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
 
     valid = (t >= 0.0) & (d0 <= 1.0) & (d1 <= 1.0) & (d2 <= 1.0)
     tt = jnp.where(valid, t, jnp.inf)
 
-    page_min = jnp.min(tt, axis=0, keepdims=True)           # [1, RB]
-    page_id = jnp.min(jnp.where(tt == page_min, aux[:, 6:7], jnp.inf),
-                      axis=0, keepdims=True)                # smallest id on tie
+    page_min = jnp.min(tt, axis=0, keepdims=True)        # [1, RB]
+    page_id = jnp.min(jnp.where(tt == page_min, col(LANE_ID), jnp.inf),
+                      axis=0, keepdims=True)             # smallest id on tie
 
-    # Output blocks are [8, RB] (f32 sublane tiling); the running best lives
-    # broadcast across all 8 sublane rows, row 0 is read back on the host.
     best_t = t_ref[:]
     upd = page_min < best_t
     t_ref[:] = jnp.where(upd, jnp.broadcast_to(page_min, best_t.shape), best_t)
@@ -94,24 +85,37 @@ def _kernel(o_ref, d_ref, g_ref, aux_ref, t_ref, id_ref, *, page_size: int):
                           id_ref[:])
 
 
+def _init_out(t_ref, id_ref):
+    t_ref[:] = jnp.full_like(t_ref, jnp.inf)
+    id_ref[:] = jnp.zeros_like(id_ref)
+
+
+def _kernel(o_ref, d_ref, pk_ref, t_ref, id_ref, *, page_size: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _init_out(t_ref, id_ref)
+
+    _predicate_update(pk_ref[0], o_ref, d_ref, t_ref, id_ref, page_size)
+
+
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
                                              "interpret"))
-def nearest_hit_pallas(O, D, G, AUXT, page_size: int,
+def nearest_hit_pallas(O, D, PK, page_size: int,
                        ray_chunk: int = DEFAULT_RAY_CHUNK,
                        interpret: bool = False):
-    """Kernel contract of ops/intersect_ref.py.
+    """Dense variant: every ray chunk visits every page (brute force).
 
     O, D: [R, 3] f32 (R padded to a multiple of `ray_chunk` internally).
     Returns (best_t [R] f32 +inf-miss, best_id [R] int32 0-miss).
     """
     R = O.shape[0]
-    NP = G.shape[0]
+    NP = PK.shape[0]
     RB = ray_chunk
     NC = -(-R // RB)
     Rpad = NC * RB
 
-    OT = jnp.zeros((3, Rpad), F32).at[:, :R].set(O.T.astype(F32))
     # Padding rays get direction zero -> t = NaN or +-inf -> never valid.
+    OT = jnp.zeros((3, Rpad), F32).at[:, :R].set(O.T.astype(F32))
     DT = jnp.zeros((3, Rpad), F32).at[:, :R].set(D.T.astype(F32))
 
     grid = (NC, NP)
@@ -121,22 +125,129 @@ def nearest_hit_pallas(O, D, G, AUXT, page_size: int,
         in_specs=[
             pl.BlockSpec((3, RB), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RB), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5 * page_size, 3), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page_size, 8), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, page_size, 128), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, RB), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, RB), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, RB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, RB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NC * 8, RB), F32),
-            jax.ShapeDtypeStruct((NC * 8, RB), F32),
+            jax.ShapeDtypeStruct((NC, 8, RB), F32),
+            jax.ShapeDtypeStruct((NC, 8, RB), F32),
         ],
         interpret=interpret,
-    )(OT, DT, G, AUXT)
+    )(OT, DT, PK)
 
-    best_t = best_t.reshape(NC, 8, RB)[:, 0, :].reshape(-1)[:R]
-    best_id = best_id.reshape(NC, 8, RB)[:, 0, :].reshape(-1)[:R]
+    best_t = best_t[:, 0, :].reshape(-1)[:R]
+    best_id = best_id[:, 0, :].reshape(-1)[:R]
+    return best_t, best_id.astype(jnp.int32)
+
+
+def _kernel_pages(meta_ref, o_ref, d_ref, pk_hbm, t_ref, id_ref,
+                  pk_buf, sem, *, page_size: int):
+    """Grid = (NC,): each step owns one ray chunk and streams ONLY its
+    surviving pages HBM->VMEM with double-buffered DMA.
+
+    meta_ref: [8, 1+NP] SMEM block (8 chunk rows; ours is row i%8):
+    col 0 = surviving-page count, cols 1.. = page ids, survivors first.
+    """
+    row = jax.lax.rem(pl.program_id(0), 8)
+    n = meta_ref[row, 0]
+
+    _init_out(t_ref, id_ref)
+
+    def dma(slot, k):
+        p = meta_ref[row, 1 + k]
+        return pltpu.make_async_copy(pk_hbm.at[p], pk_buf.at[slot],
+                                     sem.at[slot])
+
+    @pl.when(n > 0)
+    def _warmup():
+        dma(0, 0).start()
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n)
+        def _prefetch():
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        dma(slot, k).wait()
+        _predicate_update(pk_buf[slot], o_ref, d_ref, t_ref, id_ref,
+                          page_size)
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
+                                             "interpret"))
+def nearest_hit_pallas_pages(O, D, PK, counts, plist,
+                             page_size: int, ray_chunk: int,
+                             interpret: bool = False):
+    """Page-streaming variant: per-chunk page lists consumed ON DEVICE.
+
+    The production form on remote/tunneled TPUs: `counts`/`plist` are device
+    arrays (from a row-wise argsort of the cull mask), so the whole multi-wave
+    render stays a single dispatch chain with no host round trips.  Grid is
+    (NC,); each chunk loops over counts[c] pages, double-buffering packed page
+    blocks HBM->VMEM (pallas_guide double-buffering pattern) while the VPU
+    evaluates the previous page.
+
+    O, D: [R, 3] with R a multiple of ray_chunk.  counts: [NC] int32.
+    plist: [NC, NP] int32 — surviving page ids first (row-wise).
+    Returns (best_t, best_id) [R].
+    """
+    RB = ray_chunk
+    R = O.shape[0]
+    NC = R // RB
+    NP = PK.shape[0]
+
+    OT = O.T.astype(F32)
+    DT = D.T.astype(F32)
+
+    # meta [NC8, 1+NP] int32: col 0 = count, cols 1.. = page list.  Rows
+    # padded to a multiple of 8 (SMEM block alignment).
+    NC8 = -(-NC // 8) * 8
+    meta = jnp.zeros((NC8, 1 + NP), jnp.int32)
+    meta = meta.at[:NC, 0].set(counts.astype(jnp.int32))
+    meta = meta.at[:NC, 1:].set(plist.astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, 1 + NP), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # PK stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, page_size, 128), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    best_t, best_id = pl.pallas_call(
+        functools.partial(_kernel_pages, page_size=page_size),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NC, 8, RB), F32),
+            jax.ShapeDtypeStruct((NC, 8, RB), F32),
+        ],
+        interpret=interpret,
+    )(meta, OT, DT, PK)
+
+    best_t = best_t[:, 0, :].reshape(-1)
+    best_id = best_id[:, 0, :].reshape(-1)
     return best_t, best_id.astype(jnp.int32)

@@ -6,27 +6,31 @@ re-uploads them every cycle; its host-side pagination windows each ray's
 ordered leaf list into fixed-size pages (`cuda_raytrace.rs:231-253`).
 
 On TPU the scene lives in HBM once, pre-packed into fixed-size PAGES of
-triangle FEATURES shaped for the intersect kernel, and pages are streamed
-through VMEM by BlockSpecs — no per-cycle repacking (that repack is the
-reference's measured bottleneck; see its 4-phase timers, cuda_rt.cu:432-440).
+triangle features shaped for the intersect kernel, and pages are streamed
+through VMEM — no per-cycle repacking (that repack is the reference's measured
+bottleneck; see its 4-phase timers, cuda_rt.cu:432-440).
 
-Per page of P triangles:
-  G    [5P, 3] f32 — feature rows, attribute-major blocks of P rows each:
-        [ norm | s0' | s1' | s2' | center ], where s'_k = sides_k/side_lens_k
-        (prescaled so the half-plane test becomes dot(ip, s'_k) <= 1; valid
-        since the centroid is strictly inside, so side_lens > 0).  Row-major
-        [5P, 3] keeps each attribute a natural [P, 1]-sliceable column block
-        in VMEM (no relayouts in the kernel).
-  AUXT [P, 8] f32 — per-triangle scalars
-        [ n.c, s0'.c, s1'.c, s2'.c, c.c, bounding_r2, id, 0 ]
-        (id stored as f32 — exact for ids < 2^24; c.c and r2 retained for
-        diagnostics, unused by the hit predicate).
+Packed page layout PK [NP, P, 128] f32 — triangles on sublanes (P a multiple
+of 8), features on lanes (padded to the 128-lane tile so page slices DMA
+cleanly and each feature is a natural [P, 1] column in VMEM):
+
+  lane  0..2   n       unit plane normal (sides[0] x sides[1], raytrace.rs:370)
+  lane  3..5   s0'     sides[0] / side_lens[0]  (prescaled inward edge normal)
+  lane  6..8   s1'     sides[1] / side_lens[1]
+  lane  9..11  s2'     sides[2] / side_lens[2]
+  lane 12      n.c     plane offset (c = centroid)
+  lane 13..15  sk'.c   half-plane offsets
+  lane 16      id      global triangle index as f32 (exact below 2^24)
+  lane 17..127 zero
+
+The kernel tile orientation is triangles-on-sublanes x rays-on-lanes: the
+min-reduction over candidates folds across sublanes (a handful of full-width
+vector ops) — measured ~5x faster than the lane-reduction orientation.
 
 Intersection math consumed by all kernel implementations (see
-ops/intersect_ref.py for the executable model):
-  MO = G O, MD = G D for ray origins O [3,R] and unit directions D [3,R]
-  t      = (n.c - MO_n) / MD_n
-  dist_k = MO_sk + t * MD_sk - s'_k.c            (<= 1 for inside)
+ops/intersect_ref.py for the executable model), for rays O, D [3, R]:
+  t      = (n.c - n.O) / n.D                        [P, R]
+  dist_k = sk'.O + t * sk'.D - sk'.c                (<= 1 for inside)
   valid  = t >= 0  AND  all dist_k <= 1
 with the same accept-on-equality boundaries as `Triangle::intersects`
 (raytrace.rs:400-439).  The reference CPU path's bounding-circle reject
@@ -35,7 +39,7 @@ inside the corner circle — so the kernel contract omits it, exactly as the
 reference's own CUDA kernel does (cuda_rt.cu:166-256; its Rust oracle
 neutralizes the circle with r2=1000, cuda_raytrace.rs:145).
 
-Sentinel id 0 = miss; padding rows are all-zero (norm = 0 -> t = NaN -> never
+Sentinel id 0 = miss; padding rows are all-zero (n = 0 -> t = NaN -> never
 valid) with id 0.
 """
 
@@ -48,51 +52,63 @@ from ..geometry import TriangleArrays
 
 F32 = np.float32
 
+#: lane offsets in the packed page layout
+LANE_N = 0
+LANE_S0 = 3
+LANE_S1 = 6
+LANE_S2 = 9
+LANE_NC = 12
+LANE_S0C = 13
+LANE_S1C = 14
+LANE_S2C = 15
+LANE_ID = 16
+PACK_LANES = 128
+
 
 @dataclass
 class PageTables:
     """Paged scene tables (numpy host-side; moved to device by the renderer)."""
 
-    G: np.ndarray      # [NP, 5P, 3] f32
-    AUXT: np.ndarray   # [NP, P, 8] f32
+    PK: np.ndarray     # [NP, P, 128] f32 packed features (layout above)
     page_size: int
     num_tris: int      # real (unpadded) triangle count referenced by the pages
+    aabb_lo: np.ndarray = None  # [NP, 3] f32 page bounds (+inf for empty pages)
+    aabb_hi: np.ndarray = None  # [NP, 3] f32 (-inf for empty pages)
 
     @property
     def num_pages(self) -> int:
-        return self.G.shape[0]
+        return self.PK.shape[0]
 
 
-def pack_features(tris: TriangleArrays, indices: np.ndarray):
-    """Feature rows for a flat list of triangle indices -> (feat [n,3,5], aux [n,8])."""
-    n = indices.shape[0]
-    sel = indices.astype(np.int64)
-    center = tris.incenter[sel]                      # [n,3]
-    norm = tris.norm[sel]                            # [n,3]
-    s = tris.sides[sel] / tris.side_lens[sel][..., None]   # [n,3,3] prescaled
-    r2 = tris.bounding_r2[sel]
+def pack_features(tris: TriangleArrays, indices: np.ndarray) -> np.ndarray:
+    """Packed feature rows [n, 128] for a flat list of triangle indices."""
+    sel = np.asarray(indices, dtype=np.int64)
+    n = sel.shape[0]
+    center = tris.incenter[sel]                               # [n,3]
+    norm = tris.norm[sel]                                     # [n,3]
+    s = tris.sides[sel] / tris.side_lens[sel][..., None]      # [n,3,3]
 
-    feat = np.stack([norm, s[:, 0], s[:, 1], s[:, 2], center], axis=1)  # [n,5,3]
-    aux = np.empty((n, 8), dtype=F32)
-    aux[:, 0] = np.einsum("nc,nc->n", norm, center)
-    aux[:, 1] = np.einsum("nc,nc->n", s[:, 0], center)
-    aux[:, 2] = np.einsum("nc,nc->n", s[:, 1], center)
-    aux[:, 3] = np.einsum("nc,nc->n", s[:, 2], center)
-    aux[:, 4] = np.einsum("nc,nc->n", center, center)
-    aux[:, 5] = r2
-    aux[:, 6] = sel.astype(F32)
-    aux[:, 7] = 0.0
-    return feat.astype(F32), aux
+    pk = np.zeros((n, PACK_LANES), dtype=F32)
+    pk[:, LANE_N:LANE_N + 3] = norm
+    pk[:, LANE_S0:LANE_S0 + 3] = s[:, 0]
+    pk[:, LANE_S1:LANE_S1 + 3] = s[:, 1]
+    pk[:, LANE_S2:LANE_S2 + 3] = s[:, 2]
+    pk[:, LANE_NC] = np.einsum("nc,nc->n", norm, center)
+    pk[:, LANE_S0C] = np.einsum("nc,nc->n", s[:, 0], center)
+    pk[:, LANE_S1C] = np.einsum("nc,nc->n", s[:, 1], center)
+    pk[:, LANE_S2C] = np.einsum("nc,nc->n", s[:, 2], center)
+    pk[:, LANE_ID] = sel.astype(F32)
+    return pk
 
 
-def build_pages(tris: TriangleArrays, page_size: int = 128,
+def build_pages(tris: TriangleArrays, page_size: int = 256,
                 order: Optional[Sequence[int]] = None) -> PageTables:
     """Pack triangles into fixed-size pages.
 
     `order`: triangle indices to include, in page order.  Defaults to the
     brute-force list 1..N-1 (slot 0, the miss sentinel, is excluded exactly as
-    `build_bounding_box` excludes it — raytrace.rs:791).  Octree-ordered page
-    lists pass leaf-grouped indices here.
+    `build_bounding_box` excludes it — raytrace.rs:791).  Spatially-ordered
+    page lists (morton_order) keep page AABBs tight for packet culling.
     """
     if order is None:
         order = np.arange(1, len(tris), dtype=np.int64)
@@ -102,22 +118,58 @@ def build_pages(tris: TriangleArrays, page_size: int = 128,
     num_pages = max(1, -(-n // page_size))
     padded = num_pages * page_size
 
-    feat, aux = pack_features(tris, order)
+    pk = np.zeros((padded, PACK_LANES), dtype=F32)
+    pk[:n] = pack_features(tris, order)
 
-    feat_p = np.zeros((padded, 5, 3), dtype=F32)
-    aux_p = np.zeros((padded, 8), dtype=F32)
-    aux_p[:, 5] = -1.0  # padding marker (diagnostics only)
-    feat_p[:n] = feat
-    aux_p[:n] = aux
-
-    # [NP, P, 5, 3] -> G [NP, 5P, 3] attribute-major: row [a*P + p] holds
-    # attribute a of page-local triangle p.
-    g = feat_p.reshape(num_pages, page_size, 5, 3)
-    g = np.transpose(g, (0, 2, 1, 3)).reshape(num_pages, 5 * page_size, 3)
+    # Page AABBs over member triangle corners (for packet culling).
+    lo = np.full((padded, 3), np.inf, dtype=F32)
+    hi = np.full((padded, 3), -np.inf, dtype=F32)
+    corners = tris.corners[order]          # [n, 3, 3]
+    lo[:n] = corners.min(axis=1)
+    hi[:n] = corners.max(axis=1)
+    lo = lo.reshape(num_pages, page_size, 3).min(axis=1)
+    hi = hi.reshape(num_pages, page_size, 3).max(axis=1)
 
     return PageTables(
-        G=np.ascontiguousarray(g),
-        AUXT=np.ascontiguousarray(aux_p.reshape(num_pages, page_size, 8)),
+        PK=np.ascontiguousarray(pk.reshape(num_pages, page_size, PACK_LANES)),
         page_size=page_size,
         num_tris=len(tris),
+        aabb_lo=lo.astype(F32),
+        aabb_hi=hi.astype(F32),
     )
+
+
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit xyz -> 30-bit Morton codes.  q: [n,3] uint32 < 1024."""
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+
+
+def morton_order(tris: TriangleArrays) -> np.ndarray:
+    """Triangle indices 1..N-1 sorted by centroid Morton code.
+
+    Spatially coherent page packing: consecutive triangles land in compact
+    blobs, so page AABBs stay tight and packet culling bites.  Unlike octree
+    leaf pages (the reference's spatial index duplicates triangles into every
+    leaf they touch, raytrace.rs:790-845), Morton pages reference each
+    triangle exactly once.
+    """
+    c = tris.incenter[1:]
+    lo = c.min(axis=0)
+    span = np.maximum(c.max(axis=0) - lo, 1e-20)
+    q = np.minimum((c - lo) / span * 1024.0, 1023.0).astype(np.uint32)
+    codes = _morton3(q)
+    return np.argsort(codes, kind="stable").astype(np.int64) + 1
+
+
+def build_pages_morton(tris: TriangleArrays, page_size: int = 256) -> PageTables:
+    """Morton-ordered pages (the production layout for packet culling)."""
+    return build_pages(tris, page_size=page_size, order=morton_order(tris))

@@ -50,7 +50,7 @@ BLACK = jnp.zeros(3, dtype=F32)
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["G", "AUXT", "center", "norm", "sides", "side_lens",
+    data_fields=["PK", "center", "norm", "sides", "side_lens",
                  "edge_thickness", "mat_kind", "mat_color", "mat_alpha",
                  "mat_scattering"],
     meta_fields=["page_size"])
@@ -58,8 +58,7 @@ BLACK = jnp.zeros(3, dtype=F32)
 class SceneTensors:
     """Device-resident scene: intersection pages + shade tables (jit pytree)."""
 
-    G: jax.Array            # [NP, 3, 5P]
-    AUXT: jax.Array         # [NP, P, 8]
+    PK: jax.Array           # [NP, P, 128] packed pages (ops/pages.py)
     page_size: int
     # per-triangle shade tables, gathered by hit id:
     center: jax.Array       # [N, 3]
@@ -78,7 +77,7 @@ def upload_scene(scene: Scene, page_size: int = 128,
     pages = pages or build_pages(scene.tris, page_size=page_size)
     t = scene.tris
     return SceneTensors(
-        G=jnp.asarray(pages.G), AUXT=jnp.asarray(pages.AUXT),
+        PK=jnp.asarray(pages.PK),
         page_size=pages.page_size,
         center=jnp.asarray(t.incenter), norm=jnp.asarray(t.norm),
         sides=jnp.asarray(t.sides), side_lens=jnp.asarray(t.side_lens),
@@ -100,8 +99,14 @@ def _random_unit_vec(key, shape):
     return _unit(v)
 
 
-def _shade_wave(st: SceneTensors, o, d, t, hid, accum, weight, alive, rv):
-    """One wave of the color algebra; returns updated (accum, weight, alive, o, d)."""
+def shade_active(st: SceneTensors, o, d, t, hid, weight, valid, rv):
+    """One wave of the color algebra over an active ray set.
+
+    valid: rays that entered this wave alive (padding/dead rays are False and
+    contribute nothing).  Returns (contrib [R,3], weight', alive', o', d'):
+    contrib is this wave's addition to the pixel accumulator; alive' marks
+    rays that scattered and continue.
+    """
     miss = hid == 0
 
     center = st.center[hid]
@@ -125,17 +130,16 @@ def _shade_wave(st: SceneTensors, o, d, t, hid, accum, weight, alive, rv):
 
     is_scatter = (~miss) & (~edge) & ((kind == KIND_MATTE) |
                                       (kind == KIND_REFLECTIVE))
-    is_terminal = alive & ~is_scatter
+    is_terminal = valid & ~is_scatter
 
     surf_color = jnp.where(edge[:, None], BLACK, color)
     term_color = jnp.where(miss[:, None], SKY, surf_color)
-    accum = accum + jnp.where(is_terminal[:, None],
-                              weight[:, None] * term_color, 0.0)
+    contrib = jnp.where(is_terminal[:, None], weight[:, None] * term_color, 0.0)
 
-    scatter_live = alive & is_scatter
-    accum = accum + jnp.where(scatter_live[:, None],
-                              weight[:, None] * color * (F32(1.0) - alpha[:, None]),
-                              0.0)
+    scatter_live = valid & is_scatter
+    contrib = contrib + jnp.where(
+        scatter_live[:, None],
+        weight[:, None] * color * (F32(1.0) - alpha[:, None]), 0.0)
     weight = jnp.where(scatter_live, weight * alpha, weight)
 
     # Bounce rays (lambertian_ray raytrace.rs:292-297; reflect_ray :278-290)
@@ -152,18 +156,25 @@ def _shade_wave(st: SceneTensors, o, d, t, hid, accum, weight, alive, rv):
     upd = scatter_live[:, None]
     o = jnp.where(upd, new_o, o)
     d = jnp.where(upd, new_d, d)
-    return accum, weight, scatter_live, o, d
+    return contrib, weight, scatter_live, o, d
+
+
+def _shade_wave(st: SceneTensors, o, d, t, hid, accum, weight, alive, rv):
+    """Full-batch wave (simple path): accumulate in place, no compaction."""
+    contrib, weight, alive, o, d = shade_active(st, o, d, t, hid, weight,
+                                                alive, rv)
+    return accum + contrib, weight, alive, o, d
 
 
 def _nearest(st: SceneTensors, o, d, backend: str, ray_chunk: int):
     if backend == "pallas":
-        return nearest_hit_pallas(o, d, st.G, st.AUXT, st.page_size,
+        return nearest_hit_pallas(o, d, st.PK, st.page_size,
                                   ray_chunk=ray_chunk)
     if backend == "pallas_interpret":
-        return nearest_hit_pallas(o, d, st.G, st.AUXT, st.page_size,
+        return nearest_hit_pallas(o, d, st.PK, st.page_size,
                                   ray_chunk=ray_chunk, interpret=True)
     if backend == "xla":
-        return nearest_hit_xla(o, d, st.G, st.AUXT, st.page_size)
+        return nearest_hit_xla(o, d, st.PK, st.page_size)
     raise ValueError(f"unknown backend {backend!r}")
 
 

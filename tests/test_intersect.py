@@ -78,8 +78,8 @@ def test_xla_matches_model(sphere_scene, rays):
     O, D = rays
     pages = build_pages(sphere_scene.tris, page_size=64)
     t_m, id_m = nearest_hit_model(O, D, pages)
-    G, AUXT = device_pages(pages)
-    t_x, id_x = nearest_hit_xla(jnp.asarray(O), jnp.asarray(D), G, AUXT, 64)
+    PK = device_pages(pages)
+    t_x, id_x = nearest_hit_xla(jnp.asarray(O), jnp.asarray(D), PK, 64)
     t_x, id_x = np.asarray(t_x), np.asarray(id_x)
 
     assert (id_x == id_m).mean() > 0.999
@@ -97,8 +97,7 @@ def test_pallas_interpret_matches_model(sphere_scene, rays):
     pages = build_pages(sphere_scene.tris, page_size=64)
     t_m, id_m = nearest_hit_model(O, D, pages)
     t_p, id_p = nearest_hit_pallas(jnp.asarray(O), jnp.asarray(D),
-                                   jnp.asarray(pages.G),
-                                   jnp.asarray(pages.AUXT),
+                                   jnp.asarray(pages.PK),
                                    page_size=64, ray_chunk=128,
                                    interpret=True)
     t_p, id_p = np.asarray(t_p), np.asarray(id_p)
@@ -119,7 +118,7 @@ def test_pallas_ray_padding(sphere_scene):
     D = np.tile(m3.unit(m3.vec(0.0, 0.0, 1.0)), (37, 1))
     pages = build_pages(sphere_scene.tris, page_size=64)
     t, i = nearest_hit_pallas(jnp.asarray(O), jnp.asarray(D),
-                              jnp.asarray(pages.G), jnp.asarray(pages.AUXT),
+                              jnp.asarray(pages.PK),
                               page_size=64, ray_chunk=128, interpret=True)
     assert t.shape == (37,)
     assert np.asarray(i).min() >= 0
