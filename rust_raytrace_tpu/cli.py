@@ -1,0 +1,215 @@
+"""Command-line application (the reference's `raytrace` binary, main.rs:89-273).
+
+The reference hard-codes everything (scene, resolution, octree params) as
+compile-time constants; this CLI exposes them as flags, which the BASELINE
+configs require (resolution / scene / feature variations).
+
+Subcommands:
+  render   — render a scene to PNG with any backend, print the stats report
+             (print_stats semantics, progress.rs:157-184), optionally dump
+             per-ray debug CSVs (debug.rs format)
+  diff     — differential-compare two renders per pixel/ray (the
+             main.rs:206-227 dual-render + compare_to flow)
+  tune     — hill-climb (page_size, ray_chunk) for the engine, the analog of
+             the reference's octree-parameter tuner `optimize()`
+             (main.rs:20-62)
+
+Examples:
+  python -m rust_raytrace_tpu.cli render --scene teapot --resolution 2k \
+      --out test.png --stats
+  python -m rust_raytrace_tpu.cli render --scene teapot --backend oracle \
+      --resolution dev --debug-csv debug_oracle.csv
+  python -m rust_raytrace_tpu.cli diff --scene teapot --resolution dev \
+      --a engine --b simple
+  python -m rust_raytrace_tpu.cli tune --scene teapot --resolution 2k
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .models import REGISTRY
+from .utils import png
+from .utils.progress import create_ctx
+
+
+def build_scene(args):
+    build = REGISTRY[args.scene]
+    kwargs = dict(resolution=args.resolution, maxdepth=args.maxdepth,
+                  samples=args.spp)
+    return build(**kwargs)
+
+
+def make_renderer(name: str, scene, args):
+    if name == "engine":
+        from .engine import Engine
+        return Engine(scene, page_size=args.page_size,
+                      ray_chunk=args.ray_chunk)
+    if name in ("simple", "xla", "pallas", "pallas_interpret"):
+        from .render import WavefrontRenderer
+        backend = "auto" if name == "simple" else name
+        return WavefrontRenderer(scene, page_size=args.page_size,
+                                 ray_chunk=args.ray_chunk, backend=backend)
+    if name == "oracle":
+        return None
+    raise SystemExit(f"unknown backend {name!r}")
+
+
+def run_render(backend_name, scene, vp, args, key_seed=0):
+    from . import oracle
+
+    if backend_name == "oracle":
+        t0 = time.perf_counter()
+        stats = oracle.OracleStats()
+        img = oracle.render(scene.tris, vp, rng=oracle.NumpyRng(key_seed),
+                            stats=stats)
+        seconds = time.perf_counter() - t0
+        from .render import RenderResult
+        return RenderResult(image=img, rays_traced=stats.rays,
+                            wave_rays=np.asarray([stats.rays]),
+                            primary_t=None, primary_id=None, seconds=seconds)
+    import jax
+
+    r = make_renderer(backend_name, scene, args)
+    kwargs = {}
+    if backend_name == "engine":
+        kwargs = dict(debug=args.debug_csv is not None, quantize=not args.f32)
+    return r.render(vp, key=jax.random.PRNGKey(key_seed), **kwargs)
+
+
+def cmd_render(args):
+    scene, vp = build_scene(args)
+    progress = create_ctx(vp.width, vp.height, enable_io=args.progress)
+    result = run_render(args.backend, scene, vp, args)
+    progress.update_wavefront(result)
+    progress.finish()
+
+    if args.out:
+        png.write_png(args.out, result.image)
+        print(f"wrote {args.out}")
+    if args.stats:
+        progress.print_stats()
+    if args.debug_csv:
+        if result.primary_id is None:
+            print("debug buffers unavailable for this backend", file=sys.stderr)
+        else:
+            from .utils.raydebug import from_render_result
+            ctx = from_render_result(result, vp)
+            with open(args.debug_csv, "w") as f:
+                ctx.write_debug_header(f)
+                ctx.write_all_debug_context(f)
+            print(f"wrote {args.debug_csv}")
+    if args.golden:
+        golden = png.read_png(args.golden)
+        r = png.rmse(png.quantize_u8(result.image), golden)
+        print(f"rmse vs {args.golden}: {r:.6f}")
+
+
+def cmd_diff(args):
+    scene, vp = build_scene(args)
+    args.debug_csv = "x"  # force debug buffers on
+    ra = run_render(args.a, scene, vp, args)
+    rb = run_render(args.b, scene, vp, args)
+
+    img_diff = np.abs(ra.image.astype(np.float64) / (255.0 if ra.image.dtype == np.uint8 else 1.0)
+                      - rb.image.astype(np.float64) / (255.0 if rb.image.dtype == np.uint8 else 1.0))
+    print(f"image rmse: {np.sqrt((img_diff ** 2).mean()):.6f}  "
+          f"max: {img_diff.max():.6f}")
+
+    if ra.primary_id is not None and rb.primary_id is not None:
+        from .utils.raydebug import from_render_result
+        ctx_a = from_render_result(ra, vp)
+        ctx_b = from_render_result(rb, vp)
+        err = ctx_a.compare_to(ctx_b, sys.stdout)
+        return 1 if err else 0
+    return 0
+
+
+def cmd_tune(args):
+    """Hill-climb (page_size, ray_chunk) — reference optimize(), main.rs:20-62."""
+    import jax
+
+    from .engine import Engine
+
+    scene, vp = build_scene(args)
+    page_opts = [128, 256, 512]
+    chunk_opts = [512, 1024, 2048]
+    runtimes = {}
+
+    def run(ps, rc):
+        if (ps, rc) not in runtimes:
+            print(f"Running iteration page_size={ps} ray_chunk={rc}")
+            eng = Engine(scene, page_size=ps, ray_chunk=rc)
+            eng.render(vp)  # compile
+            t0 = time.perf_counter()
+            eng.render(vp, key=jax.random.PRNGKey(1))
+            runtimes[(ps, rc)] = time.perf_counter() - t0
+            print(f"Runtime: {runtimes[(ps, rc)]:.3f}")
+        return runtimes[(ps, rc)]
+
+    pi, ci = 1, 1
+    while True:
+        best = None
+        for dp in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                p, c = pi + dp, ci + dc
+                if 0 <= p < len(page_opts) and 0 <= c < len(chunk_opts):
+                    t = run(page_opts[p], chunk_opts[c])
+                    if best is None or t < best[0]:
+                        best = (t, p, c)
+        if (best[1], best[2]) == (pi, ci):
+            break
+        pi, ci = best[1], best[2]
+    print(f"Found minimum at page_size={page_opts[pi]} "
+          f"ray_chunk={chunk_opts[ci]} ({runtimes[(page_opts[pi], chunk_opts[ci])]:.3f}s)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rust_raytrace_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene", default="teapot", choices=sorted(REGISTRY))
+        sp.add_argument("--resolution", default="dev")
+        sp.add_argument("--maxdepth", type=int, default=5)
+        sp.add_argument("--spp", type=int, default=1)
+        sp.add_argument("--page-size", type=int, default=256)
+        sp.add_argument("--ray-chunk", type=int, default=1024)
+
+    sp = sub.add_parser("render", help="render a scene to PNG")
+    common(sp)
+    sp.add_argument("--backend", default="engine",
+                    choices=["engine", "simple", "xla", "pallas",
+                             "pallas_interpret", "oracle"])
+    sp.add_argument("--out", default="test.png")
+    sp.add_argument("--stats", action="store_true")
+    sp.add_argument("--progress", action="store_true")
+    sp.add_argument("--debug-csv")
+    sp.add_argument("--golden", help="golden PNG to compare against (rmse)")
+    sp.add_argument("--f32", action="store_true",
+                    help="keep a float framebuffer (no device quantization)")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("diff", help="differential-compare two backends")
+    common(sp)
+    sp.add_argument("--a", default="engine")
+    sp.add_argument("--b", default="simple")
+    sp.add_argument("--f32", action="store_true")
+    sp.set_defaults(fn=cmd_diff)
+
+    sp = sub.add_parser("tune", help="hill-climb engine parameters")
+    common(sp)
+    sp.set_defaults(fn=cmd_tune)
+
+    args = p.parse_args(argv)
+    if not hasattr(args, "debug_csv"):
+        args.debug_csv = None
+    if not hasattr(args, "f32"):
+        args.f32 = False
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,4 @@
-"""Production render engine: culled, compacted, fully-on-device wavefront.
+"""Production render engine: culled, fully-on-device, gather-free wavefront.
 
 This is the full TPU translation of the reference's GPU workqueue architecture
 (cuda_raytrace_lib/src/cuda_raytrace.rs:277-515), generalized to all shading
@@ -8,25 +8,28 @@ depths:
   -----------------------------------     --------------------------------------
   get_all_objects_for_ray: host octree     packet cull: device interval test of
   walk -> ordered leaf tri lists           chunk bounds vs Morton-page AABBs
-  get_tris_for_btree: window lists into    row-wise argsort of the cull mask ->
-  <=256-tri pages (cuda_raytrace.rs:231)   per-chunk page lists (on device)
-  cycles of <=512 rays, best-hit carry     page-streaming Pallas kernel: per
-  (cuda_raytrace.rs:340-504)               chunk, double-buffered HBM->VMEM DMA
-                                           over ONLY its surviving pages
-  nextcycle requeue of unfinished rays     stable active-ray compaction
-                                           (cumsum partition, no sort)
+  BTreeMap ordered by box tmin             per-chunk page list argsorted by
+  (raytrace.rs:1052-1077)                  conservative entry distance
+  cycles of <=512 rays, best-hit carry     trace megakernel: per chunk, double-
+  (cuda_raytrace.rs:340-504)               buffered page DMA + running winner
+                                           STATE (t, id, normal, material) via
+                                           in-kernel masked reductions
+  front-to-back early exit (disabled by    chunk-granular early exit on the
+  `|| true`, cuda_raytrace.rs:441)         next page's entry bound (enabled!)
   per-cycle SoA repack + H2D upload        scene resident in HBM
 
-Everything — cull, page lists, kernel, shading, compaction — runs inside ONE
-jit program per render; there are no host round trips (the ragged-worklist
-alternative pays ~100ms of tunnel latency per wave on remote TPUs).  Dead rays
-are compacted to the tail, so their chunks cull to zero pages and cost only a
-grid-step of overhead.
+Hard-won platform constraints that shaped this design (single v5e via a
+network tunnel):
+  - host<->device round trips cost 30-65 ms  -> per-wave scheduling state
+    (page lists) lives on device; a render is ONE dispatch chain;
+  - XLA gathers/scatters at 3.7M rays cost 0.5-75 s -> the kernel RETURNS the
+    winner's full shading state, shading is pure elementwise math, and there
+    is no active-ray compaction (dead SIMD lanes are free; the packet cull
+    sees only live rays via the valid mask, so dead rays never add pages).
 
-Primary rays are emitted in SQUARE TILE order (32x32-pixel chunks) so chunk
-direction cones stay tight for the packet cull; the tile permutation is
-inverted once at the end.  Bounce origins inherit tile locality through the
-stable compaction.
+Primary rays are EMITTED in square-tile order (computed by index arithmetic,
+not permutation gathers) so chunk direction cones stay tight for the packet
+cull; the final image is un-permuted once on the host in numpy.
 """
 
 import functools
@@ -37,173 +40,306 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import math3d as m3
 from .camera import Viewport
-from .ops.cull import chunk_bounds, cull_mask
-from .ops.intersect_pallas import nearest_hit_pallas_pages
+from .ops.cull import chunk_bounds, cull_mask_tmin
+from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
+                                   ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS,
+                                   trace_chunks_pallas)
 from .ops.pages import build_pages_morton
-from .render import (RenderResult, SceneTensors, _camera_rays_device,
-                     _random_unit_vec, _unit, shade_active, upload_scene)
+from .render import (KIND_MATTE, KIND_REFLECTIVE, RenderResult, SceneTensors,
+                     _random_unit_vec, _unit, upload_scene)
 from .scene import Scene
 
 F32 = jnp.float32
 
+SKY = jnp.asarray(m3.make_color((128, 180, 255)))
+
+
+def pick_tile(width: int, height: int) -> int:
+    for t in (32, 16, 8):
+        if width % t == 0 and height % t == 0:
+            return t
+    return 1
+
 
 def tile_permutation(height: int, width: int, spp: int, tile: int) -> np.ndarray:
-    """Row-major ray index for each position of the tile-major traversal."""
+    """perm[q] = row-major ray index of tile-major position q (host side)."""
     rows = np.arange(height)
     cols = np.arange(width)
     order = []
     for tr in range(0, height, tile):
         for tc in range(0, width, tile):
-            r = rows[tr:tr + tile]
-            c = cols[tc:tc + tile]
-            rr, cc = np.meshgrid(r, c, indexing="ij")
+            rr, cc = np.meshgrid(rows[tr:tr + tile], cols[tc:tc + tile],
+                                 indexing="ij")
             order.append((rr * width + cc).reshape(-1))
     order = np.concatenate(order)
     if spp > 1:
         order = (order[:, None] * spp + np.arange(spp)[None, :]).reshape(-1)
-    return order.astype(np.int32)
+    return order.astype(np.int64)
 
 
-def _partition_alive(alive, *arrays):
-    """Stable alive-first permutation via cumsum (cheaper than sort on TPU).
+def _unit_rows(v):
+    """Normalize [3, R] column vectors."""
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=0, keepdims=True))
 
-    Returns permuted copies of `arrays` plus the live count.  The analog of
-    the reference's nextcycle requeue (cuda_raytrace.rs:444-456).
+
+def _random_unit_rows(key, r):
+    """`random_vec` (raytrace.rs:188-192) as [3, R] columns."""
+    v = jax.random.uniform(key, (3, r), dtype=F32) - F32(0.5)
+    return _unit_rows(v)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "spp", "tile",
+                                             "n_pad"))
+def _camera_rays_tiled(orig, cam, vu, vv, key, *, width: int, height: int,
+                       spp: int, tile: int, n_pad: int):
+    """Primary rays emitted directly in tile-major order (pixel_ray semantics,
+    raytrace.rs:1374-1394) — index arithmetic only, no permutation gathers.
+
+    Returns (o, d) as [3, n_pad] xyz-major columns ([R, 3] arrays lane-pad
+    42x on TPU); positions beyond height*width*spp have d = 0 (invalid lanes).
     """
-    n_alive = jnp.sum(alive, dtype=jnp.int32)
-    pos_alive = jnp.cumsum(alive, dtype=jnp.int32) - 1
-    pos_dead = n_alive + jnp.cumsum(~alive, dtype=jnp.int32) - 1
-    dest = jnp.where(alive, pos_alive, pos_dead)
-    out = []
-    for a in arrays:
-        out.append(jnp.zeros_like(a).at[dest].set(a))
-    return out, n_alive
+    R0 = height * width * spp
+    q = jnp.arange(n_pad)
+    pix = q // spp if spp > 1 else q
+    T = tile
+    tpr = width // T
+    tile_id = pix // (T * T)
+    within = pix % (T * T)
+    row = ((tile_id // tpr) * T + within // T).astype(F32)
+    col = ((tile_id % tpr) * T + within % T).astype(F32)
+
+    if spp == 1:
+        u_off = v_off = F32(0.5)          # raytrace.rs:1382-1386
+    else:
+        u_off = jax.random.uniform(jax.random.fold_in(key, 1_000_001),
+                                   (n_pad,), dtype=F32)
+        v_off = jax.random.uniform(jax.random.fold_in(key, 1_000_002),
+                                   (n_pad,), dtype=F32)
+
+    vu_delta = vu * (F32(1.0) / F32(width))
+    vv_delta = vv * (F32(1.0) / F32(height))
+    px_u = (orig[:, None] + vu_delta[:, None] * (col + u_off)[None, :]
+            + vv_delta[:, None] * (row + v_off)[None, :])       # [3, n_pad]
+    d = _unit_rows(px_u - cam[:, None])
+    live = (q < R0)[None, :]
+    return jnp.where(live, px_u, 0.0), jnp.where(live, d, 0.0)
+
+
+def _shade_rows(rows, o, d, weight, valid, rv):
+    """Elementwise shading from trace-kernel winner rows ([16, R]).
+
+    Same color algebra as render.shade_active (project_ray/color_ray,
+    raytrace.rs:1199-1295) but with all winner data inline — no gathers.
+    o, d, rv: [3, R] columns.  Returns (contrib [3, R], weight', alive',
+    o', d').
+    """
+    t = rows[ROW_T:ROW_T + 1]                       # [1, R]
+    miss = rows[ROW_ID:ROW_ID + 1] == 0.0
+    norm = rows[ROW_NORM:ROW_NORM + 3]              # [3, R]
+    enc = rows[ROW_ENC:ROW_ENC + 1]
+    kind = jnp.mod(enc, 4.0)
+    edge = jnp.mod(jnp.floor(enc / 4.0), 2.0) == 1.0
+    back = enc >= 8.0
+    color = rows[ROW_COLOR:ROW_COLOR + 3]           # [3, R]
+    alpha = rows[ROW_ALPHA:ROW_ALPHA + 1]
+    scat = rows[ROW_SCAT:ROW_SCAT + 1]
+    valid = valid[None, :]                          # [1, R]
+
+    norm_f = jnp.where(back, -norm, norm)
+    is_scatter = (~miss) & (~edge) & ((kind == KIND_MATTE) |
+                                      (kind == KIND_REFLECTIVE))
+    is_terminal = valid & ~is_scatter
+    scatter_live = valid & is_scatter
+
+    surf_color = jnp.where(edge, 0.0, color)
+    term_color = jnp.where(miss, SKY[:, None], surf_color)
+    w = weight[None, :]
+    contrib = jnp.where(is_terminal, w * term_color, 0.0)
+    contrib = contrib + jnp.where(scatter_live,
+                                  w * color * (F32(1.0) - alpha), 0.0)
+    weight = jnp.where(scatter_live[0], weight * alpha[0], weight)
+
+    point = o + t * d
+    matte_dir = _unit_rows(norm_f + rv)
+    matte_orig = point + rv * F32(0.001)
+    ddot = jnp.abs(jnp.sum(d * norm_f, axis=0, keepdims=True))
+    refl_dir = _unit_rows(d + 2.0 * norm_f * ddot + rv * scat)
+    refl_orig = point + refl_dir * F32(0.001)
+
+    is_matte = kind == KIND_MATTE
+    new_o = jnp.where(is_matte, matte_orig, refl_orig)
+    new_d = jnp.where(is_matte, matte_dir, refl_dir)
+
+    o = jnp.where(scatter_live, new_o, o)
+    d = jnp.where(scatter_live, new_d, d)
+    return contrib, weight, scatter_live[0], o, d
 
 
 @functools.partial(jax.jit,
                    static_argnames=("maxdepth", "ray_chunk", "page_size",
-                                    "fixed_rng", "interpret"))
-def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, idx, n0, key,
+                                    "fixed_rng", "interpret", "want_primary",
+                                    "quantize", "spp"))
+def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
                    maxdepth: int, ray_chunk: int, page_size: int,
-                   fixed_rng: bool, interpret: bool):
-    """Full multi-wave render on padded ray arrays ([R, 3], R % RB == 0).
+                   fixed_rng: bool, interpret: bool, want_primary: bool,
+                   quantize: bool, spp: int):
+    """Full multi-wave render on padded tile-order rays ([3, R], R % RB == 0).
 
-    idx maps active-set position -> image ray slot.  n0 = real ray count.
-    Returns (accum [R,3] indexed by image slot, wave_counts [maxdepth],
-    primary_t, primary_id in initial (tile) order).
+    Returns (img [3, R or R/spp] in tile order, wave_counts [maxdepth],
+    primary rows [2, R] = (t, id) or None when !want_primary).  With
+    `quantize`, samples are box-filter averaged (raytrace.rs:1426) and
+    quantized to u8 ON DEVICE with the PNG writer's exact `(c*255) as u8`
+    semantics (raytrace.rs:1470-1472) — a 4x smaller device->host transfer,
+    which dominates wall time on a tunneled TPU.
     """
-    R = o.shape[0]
+    R = o.shape[1]
     RB = ray_chunk
-    accum = jnp.zeros((R, 3), dtype=F32)
+    accum = jnp.zeros((3, R), dtype=F32)
     weight = jnp.ones((R,), dtype=F32)
-    n_active = jnp.asarray(n0, jnp.int32)
+    alive = alive0
 
     wave_counts = []
-    primary_t = primary_id = None
+    primary = None
 
     for wave in range(maxdepth):
-        valid = jnp.arange(R) < n_active
-        o_m = jnp.where(valid[:, None], o, 0.0)
-        d_m = jnp.where(valid[:, None], d, 0.0)
+        wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
+        o_m = jnp.where(alive[None, :], o, 0.0)
+        d_m = jnp.where(alive[None, :], d, 0.0)
 
-        olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, valid, RB)
-        mask = cull_mask(olo, ohi, dlo, dhi, aabb_lo, aabb_hi)   # [NC, NP]
+        olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, alive, RB)
+        mask, tmin = cull_mask_tmin(olo, ohi, dlo, dhi, aabb_lo, aabb_hi)
         counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
-        plist = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
+        plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
+        ptmin = jnp.take_along_axis(tmin, plist, axis=1)
 
-        t, hid = nearest_hit_pallas_pages(
-            o_m, d_m, st.PK, counts, plist, page_size, RB,
-            interpret=interpret)
-
-        if wave == 0:
-            primary_t, primary_id = t, hid
+        rows = trace_chunks_pallas(o_m, d_m, st.PK, counts, plist, ptmin,
+                                   page_size, RB, interpret=interpret)
+        if wave == 0 and want_primary:
+            primary = rows[ROW_T:ROW_ID + 1]
 
         if fixed_rng:
             rv = jnp.broadcast_to(
-                _unit(jnp.asarray([0.36, 0.48, 0.8], dtype=F32)), (R, 3))
+                _unit(jnp.asarray([0.36, 0.48, 0.8], dtype=F32))[:, None],
+                (3, R))
         else:
-            rv = _random_unit_vec(jax.random.fold_in(key, wave), (R,))
+            rv = _random_unit_rows(jax.random.fold_in(key, wave), R)
 
-        contrib, weight, alive, o, d = shade_active(st, o_m, d_m, t, hid,
-                                                    weight, valid, rv)
-        accum = accum.at[idx].add(contrib)
-        wave_counts.append(n_active)
+        contrib, weight, alive, o, d = _shade_rows(rows, o_m, d_m, weight,
+                                                   alive, rv)
+        accum = accum + contrib
 
-        (o, d, weight, idx), n_active = _partition_alive(alive, o, d, weight,
-                                                         idx)
-
-    return (accum, jnp.stack(wave_counts), primary_t, primary_id)
+    img = accum
+    if quantize:
+        if spp > 1:
+            img = img.reshape(3, R // spp, spp).mean(axis=-1)
+        x = jnp.nan_to_num(img * F32(255.0), nan=0.0, posinf=255.0,
+                           neginf=0.0)
+        img = jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(jnp.uint8)
+    return img, jnp.stack(wave_counts), primary
 
 
 class Engine:
     """Culled wavefront renderer (the performance path).
 
     Produces the same image as render.WavefrontRenderer (the cull is
-    conservative and the shading algebra is shared); differs only in wave
-    scheduling.
+    conservative, the early exit only skips pages that cannot improve any
+    ray, and the shading algebra is shared); differs only in wave scheduling.
     """
 
     def __init__(self, scene: Scene, page_size: int = 256,
-                 ray_chunk: int = 1024, tile: int = 32,
-                 interpret: bool = False):
+                 ray_chunk: int = 1024, interpret: bool = False,
+                 pinhole_origin: bool = True):
+        self.pinhole_origin = pinhole_origin
         self.pages = build_pages_morton(scene.tris, page_size=page_size)
         self.tensors = upload_scene(scene, pages=self.pages)
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
         self.aabb_hi = jnp.asarray(self.pages.aabb_hi)
         self.page_size = page_size
         self.ray_chunk = ray_chunk
-        self.tile = tile
         self.interpret = interpret
         self.scene = scene
         self._perm_cache = {}
 
-    def _perm(self, v: Viewport):
-        key = (v.height, v.width, v.samples_per_pixel, self.tile)
+    def _perm(self, v: Viewport, tile: int) -> np.ndarray:
+        key = (v.height, v.width, v.samples_per_pixel, tile)
         if key not in self._perm_cache:
-            self._perm_cache[key] = jnp.asarray(
-                tile_permutation(v.height, v.width, v.samples_per_pixel,
-                                 self.tile))
+            self._perm_cache[key] = tile_permutation(
+                v.height, v.width, v.samples_per_pixel, tile)
         return self._perm_cache[key]
 
     def render(self, v: Viewport, key: Optional[jax.Array] = None,
-               fixed_rng: bool = False, progress=None) -> RenderResult:
+               fixed_rng: bool = False, progress=None, debug: bool = False,
+               quantize: bool = True) -> RenderResult:
+        """Render.  `debug` additionally returns the per-pixel primary hit
+        id/t buffers (the debug.rs trace buffers) at the cost of an extra
+        29 MB device->host transfer; `quantize` returns a u8 image quantized
+        on device (exact PNG semantics, 4x smaller transfer) — pass False for
+        float images (oracle comparisons, custom tone mapping).
+        """
         key = key if key is not None else jax.random.PRNGKey(0)
         RB = self.ray_chunk
+        spp = v.samples_per_pixel
         t0 = time.perf_counter()
 
-        o, d = _camera_rays_device(v, key, v.samples_per_pixel)
-        R0 = o.shape[0]
-        perm = self._perm(v)
+        tile = pick_tile(v.width, v.height)
+        R0 = v.height * v.width * spp
         R = -(-R0 // RB) * RB
+        quant = quantize and (R % spp == 0)
 
-        o_t = jnp.zeros((R, 3), F32).at[:R0].set(o[perm])
-        d_t = jnp.zeros((R, 3), F32).at[:R0].set(d[perm])
-        idx = jnp.zeros((R,), jnp.int32).at[:R0].set(perm)
+        o, d = _camera_rays_tiled(
+            jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
+            jnp.asarray(v.vv), key, width=v.width, height=v.height, spp=spp,
+            tile=tile, n_pad=R)
+        if self.pinhole_origin:
+            # Primary rays re-anchored at the pinhole: same geometric lines
+            # (d = unit(px_u - cam)), but chunk origin bounds collapse to a
+            # point, which sharpens the packet cull's t intervals and the
+            # front-to-back early exit.  Only differs from the reference's
+            # image-plane origins (raytrace.rs:1391-1393) for geometry inside
+            # the 0.5-unit pinhole->plane wedge, where the reference would
+            # reject the hit (t < 0); no shipped scene has such geometry.
+            o = jnp.broadcast_to(jnp.asarray(v.cam)[:, None], o.shape)
+        alive0 = jnp.arange(R) < R0
 
-        accum, wave_counts, pt_dev, pid_dev = _render_device(
-            self.tensors, self.aabb_lo, self.aabb_hi, o_t, d_t, idx, R0, key,
+        img_dev, wave_counts, primary = _render_device(
+            self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
             maxdepth=v.maxdepth, ray_chunk=RB, page_size=self.page_size,
-            fixed_rng=fixed_rng, interpret=self.interpret)
+            fixed_rng=fixed_rng, interpret=self.interpret,
+            want_primary=debug, quantize=quant, spp=spp)
 
-        img = np.asarray(accum, dtype=np.float32)[:R0]
-        wave_counts = np.asarray(wave_counts)
-        inv = np.asarray(perm)
-        pt = np.full(R0, np.inf, dtype=np.float32)
-        pid = np.zeros(R0, dtype=np.int32)
-        pt[inv] = np.asarray(pt_dev)[:R0]
-        pid[inv] = np.asarray(pid_dev)[:R0]
-
-        spp = v.samples_per_pixel
-        if spp > 1:
-            img = img.reshape(v.height, v.width, spp, 3).mean(axis=2)
-            pt = pt.reshape(v.height, v.width, spp)
-            pid = pid.reshape(v.height, v.width, spp)
-        else:
+        # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
+        # 1000x slower on this platform).
+        perm = self._perm(v, tile)
+        if quant:
+            P0 = v.height * v.width
+            data = np.asarray(img_dev).T[:P0]            # [P0, 3] u8
+            pixperm = perm[::spp] // spp if spp > 1 else perm
+            img = np.empty((P0, 3), dtype=np.uint8)
+            img[pixperm] = data
             img = img.reshape(v.height, v.width, 3)
-            pt = pt.reshape(v.height, v.width)
-            pid = pid.reshape(v.height, v.width)
+        else:
+            data = np.asarray(img_dev, dtype=np.float32).T[:R0]
+            img = np.empty((R0, 3), dtype=np.float32)
+            img[perm] = data
+            if spp > 1:
+                img = img.reshape(v.height, v.width, spp, 3).mean(axis=2)
+            else:
+                img = img.reshape(v.height, v.width, 3)
 
+        pt = pid = None
+        if debug:
+            primary_h = np.asarray(primary)[:, :R0]
+            pt = np.empty(R0, dtype=np.float32)
+            pid = np.empty(R0, dtype=np.int32)
+            pt[perm] = primary_h[0]
+            pid[perm] = primary_h[1].astype(np.int32)
+            shape = (v.height, v.width, spp) if spp > 1 else (v.height, v.width)
+            pt = pt.reshape(shape)
+            pid = pid.reshape(shape)
+
+        wave_counts = np.asarray(wave_counts)
         seconds = time.perf_counter() - t0
         result = RenderResult(
             image=img, rays_traced=int(wave_counts.sum()),

@@ -29,30 +29,44 @@ F32 = jnp.float32
 INF = jnp.inf
 
 
-def chunk_bounds(o, d, valid, ray_chunk: int):
-    """Per-chunk origin/direction AABBs.  o, d: [R, 3] (R = NC * RB),
-    valid: [R] bool — invalid (dead/padding) rays are excluded from bounds.
+def chunk_bounds(ot, dt, valid, ray_chunk: int):
+    """Per-chunk origin/direction AABBs.  ot, dt: [3, R] (R = NC * RB,
+    xyz-major — [R, 3] arrays lane-pad 42x on TPU), valid: [R] bool —
+    invalid (dead/padding) rays are excluded from bounds.
 
-    Returns (olo, ohi, dlo, dhi): each [NC, 3].  A chunk with no valid rays
-    gets inverted bounds (+inf lo / -inf hi) -> every page test fails.
+    Returns (olo, ohi, dlo, dhi): each [NC, 3] (small; fine to pad).  A chunk
+    with no valid rays gets inverted bounds -> every page test fails.
     """
-    R = o.shape[0]
+    R = ot.shape[1]
     NC = R // ray_chunk
-    o = o.reshape(NC, ray_chunk, 3)
-    d = d.reshape(NC, ray_chunk, 3)
-    v = valid.reshape(NC, ray_chunk, 1)
+    o = ot.reshape(3, NC, ray_chunk)
+    d = dt.reshape(3, NC, ray_chunk)
+    v = valid.reshape(1, NC, ray_chunk)
 
     big = jnp.asarray(INF, F32)
-    olo = jnp.min(jnp.where(v, o, big), axis=1)
-    ohi = jnp.max(jnp.where(v, o, -big), axis=1)
-    dlo = jnp.min(jnp.where(v, d, big), axis=1)
-    dhi = jnp.max(jnp.where(v, d, -big), axis=1)
+    olo = jnp.min(jnp.where(v, o, big), axis=-1).T     # [NC, 3]
+    ohi = jnp.max(jnp.where(v, o, -big), axis=-1).T
+    dlo = jnp.min(jnp.where(v, d, big), axis=-1).T
+    dhi = jnp.max(jnp.where(v, d, -big), axis=-1).T
     return olo, ohi, dlo, dhi
 
 
-@functools.partial(jax.jit, static_argnames=())
 def cull_mask(olo, ohi, dlo, dhi, blo, bhi):
-    """[NC, NP] bool: chunk may hit page.
+    """[NC, NP] bool: chunk may hit page."""
+    hit, _ = cull_mask_tmin(olo, ohi, dlo, dhi, blo, bhi)
+    return hit
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cull_mask_tmin(olo, ohi, dlo, dhi, blo, bhi):
+    """([NC, NP] bool, [NC, NP] f32): chunk may hit page + conservative
+    earliest entry distance (lower bound of t over all chunk rays).
+
+    tmin orders each chunk's surviving pages front-to-back, the per-chunk
+    analog of the reference's insertion-sorted child boxes
+    (raytrace.rs:941-947); the trace kernel early-exits once every ray's best
+    hit is closer than the next page's tmin (the reference's skip at
+    raytrace.rs:965).
 
     Per axis, the admissible t interval for t*d_k to reach
     B'_k = [blo_k - ohi_k, bhi_k - olo_k] with d_k in [dlo_k, dhi_k]:
@@ -91,7 +105,8 @@ def cull_mask(olo, ohi, dlo, dhi, blo, bhi):
 
     tmin = jnp.max(tlo, axis=-1)
     tmax = jnp.min(thi, axis=-1)
-    return (tmin <= tmax) & jnp.all(feasible, axis=-1)
+    hit = (tmin <= tmax) & jnp.all(feasible, axis=-1)
+    return hit, jnp.where(hit, tmin, jnp.inf)
 
 
 def ray_aabb_hits(o, d, blo, bhi):

@@ -42,12 +42,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pages import (LANE_ID, LANE_N, LANE_NC, LANE_S0, LANE_S0C, LANE_S1,
-                    LANE_S1C, LANE_S2, LANE_S2C)
+from .pages import (LANE_ALPHA, LANE_COLOR, LANE_ET, LANE_ID, LANE_KIND,
+                    LANE_N, LANE_NC, LANE_S0, LANE_S0C, LANE_S1, LANE_S1C,
+                    LANE_S2, LANE_S2C, LANE_SCAT)
 
 F32 = jnp.float32
 
 DEFAULT_RAY_CHUNK = 1024
+
+#: rows of the trace kernel's per-ray output block [16, RB]
+ROW_T = 0        # best hit time (+inf miss; -inf on invalid/padding lanes)
+ROW_ID = 1       # winning triangle id (0 miss)
+ROW_NORM = 2     # 2..4: winner plane normal
+ROW_ENC = 5      # kind + 4*edge + 8*back of the winner
+ROW_COLOR = 6    # 6..8: winner material color
+ROW_ALPHA = 9
+ROW_SCAT = 10
+TRACE_ROWS = 16
 
 
 def _predicate_update(pk, o_ref, d_ref, t_ref, id_ref, page_size: int):
@@ -146,18 +157,38 @@ def nearest_hit_pallas(O, D, PK, page_size: int,
     return best_t, best_id.astype(jnp.int32)
 
 
-def _kernel_pages(meta_ref, o_ref, d_ref, pk_hbm, t_ref, id_ref,
-                  pk_buf, sem, *, page_size: int):
-    """Grid = (NC,): each step owns one ray chunk and streams ONLY its
-    surviving pages HBM->VMEM with double-buffered DMA.
+def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
+                  S, pk_buf, sem, *, page_size: int):
+    """Grid = (NC,): trace one ray chunk through ONLY its surviving pages.
 
-    meta_ref: [8, 1+NP] SMEM block (8 chunk rows; ours is row i%8):
-    col 0 = surviving-page count, cols 1.. = page ids, survivors first.
+    Streams pages front-to-back with double-buffered HBM->VMEM DMA, keeps the
+    running winner STATE (t, id, normal, enc, material) in VMEM scratch S
+    [16, RB] via masked sublane reductions, and early-exits the page loop once
+    every lane's best hit is closer than the next page's conservative entry
+    distance — the chunk-granular form of the reference's front-to-back
+    skip (raytrace.rs:941-965), which its GPU path had disabled
+    (`|| true`, cuda_raytrace.rs:441).
+
+    meta_ref: [8, 1+NP] SMEM int32 (8 chunk rows; ours is row i%8): col 0 =
+    surviving-page count, cols 1.. = page ids front-to-back.  ptmin_ref:
+    [8, NP] SMEM f32: the matching conservative page entry distances.
+
+    Winner feature extraction: on pages where some lane improves, a one-hot
+    mask (tt == page_min AND id == page_id) reduces each feature over the
+    sublane (triangle) axis — this is why shading needs NO device gathers.
+    Invalid lanes (zero direction) get best_t = -inf so they can never block
+    the early exit.
     """
+    P = page_size
     row = jax.lax.rem(pl.program_id(0), 8)
     n = meta_ref[row, 0]
 
-    _init_out(t_ref, id_ref)
+    o0, o1, o2 = (o_ref[k:k + 1, :] for k in range(3))   # [1, RB]
+    d0r, d1r, d2r = (d_ref[k:k + 1, :] for k in range(3))
+    lane_valid = (d0r != 0.0) | (d1r != 0.0) | (d2r != 0.0)
+
+    S[0:1, :] = jnp.where(lane_valid, jnp.inf, -jnp.inf)     # ROW_T
+    S[1:TRACE_ROWS, :] = jnp.zeros_like(S[1:TRACE_ROWS, :])  # ROW_ID.. = 0
 
     def dma(slot, k):
         p = meta_ref[row, 1 + k]
@@ -168,7 +199,12 @@ def _kernel_pages(meta_ref, o_ref, d_ref, pk_hbm, t_ref, id_ref,
     def _warmup():
         dma(0, 0).start()
 
-    def body(k, carry):
+    def cond(carry):
+        k, done = carry
+        return (k < n) & jnp.logical_not(done)
+
+    def body(carry):
+        k, _ = carry
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < n)
@@ -176,45 +212,105 @@ def _kernel_pages(meta_ref, o_ref, d_ref, pk_hbm, t_ref, id_ref,
             dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
         dma(slot, k).wait()
-        _predicate_update(pk_buf[slot], o_ref, d_ref, t_ref, id_ref,
-                          page_size)
-        return carry
+        pk = pk_buf[slot]
 
-    jax.lax.fori_loop(0, n, body, 0)
+        def col(lane):
+            return pk[:, lane:lane + 1]                      # [P, 1]
+
+        def dot3(lane, r0, r1, r2):                          # [P, RB]
+            return col(lane) * r0 + col(lane + 1) * r1 + col(lane + 2) * r2
+
+        md_n = dot3(LANE_N, d0r, d1r, d2r)
+        t = (col(LANE_NC) - dot3(LANE_N, o0, o1, o2)) / md_n
+        dv0 = dot3(LANE_S0, o0, o1, o2) + t * dot3(LANE_S0, d0r, d1r, d2r) \
+            - col(LANE_S0C)
+        dv1 = dot3(LANE_S1, o0, o1, o2) + t * dot3(LANE_S1, d0r, d1r, d2r) \
+            - col(LANE_S1C)
+        dv2 = dot3(LANE_S2, o0, o1, o2) + t * dot3(LANE_S2, d0r, d1r, d2r) \
+            - col(LANE_S2C)
+
+        hit = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
+        tt = jnp.where(hit, t, jnp.inf)
+
+        page_min = jnp.min(tt, axis=0, keepdims=True)        # [1, RB]
+        page_id = jnp.min(jnp.where(tt == page_min, col(LANE_ID), jnp.inf),
+                          axis=0, keepdims=True)
+
+        best = S[0:1, :]
+        upd = page_min < best
+
+        @pl.when(jnp.any(upd))
+        def _extract():
+            mask = ((tt == page_min) & (col(LANE_ID) == page_id)).astype(F32)
+
+            # per-candidate edge band + face side (raytrace.rs:415-436)
+            inv_et = 1.0 - col(LANE_ET)
+            edge = (dv0 > inv_et) | (dv1 > inv_et) | (dv2 > inv_et)
+            back = md_n > 0.0
+            enc = (col(LANE_KIND) + 4.0 * edge.astype(F32)
+                   + 8.0 * back.astype(F32))
+
+            def ext(v):                                      # [1, RB]
+                return jnp.sum(mask * v, axis=0, keepdims=True)
+
+            for r, v in (
+                (ROW_NORM, col(LANE_N)), (ROW_NORM + 1, col(LANE_N + 1)),
+                (ROW_NORM + 2, col(LANE_N + 2)), (ROW_ENC, enc),
+                (ROW_COLOR, col(LANE_COLOR)),
+                (ROW_COLOR + 1, col(LANE_COLOR + 1)),
+                (ROW_COLOR + 2, col(LANE_COLOR + 2)),
+                (ROW_ALPHA, col(LANE_ALPHA)), (ROW_SCAT, col(LANE_SCAT)),
+            ):
+                S[r:r + 1, :] = jnp.where(upd, ext(v), S[r:r + 1, :])
+
+        S[0:1, :] = jnp.where(upd, page_min, best)
+        S[1:2, :] = jnp.where(upd, page_id, S[1:2, :])
+
+        # Early exit: every lane's best beats the next page's entry bound.
+        chunk_max = jnp.max(S[0:1, :])
+        done = jnp.where(k + 1 < n,
+                         chunk_max < ptmin_ref[row, jnp.minimum(k + 1, n - 1)],
+                         False)
+        return (k + 1, done)
+
+    k_f, done_f = jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+    # A prefetched DMA for page k_f may still be in flight on early exit.
+    @pl.when(done_f & (k_f < n))
+    def _drain():
+        dma(jax.lax.rem(k_f, 2), k_f).wait()
+
+    out_ref[:] = S[:]
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
                                              "interpret"))
-def nearest_hit_pallas_pages(O, D, PK, counts, plist,
-                             page_size: int, ray_chunk: int,
-                             interpret: bool = False):
-    """Page-streaming variant: per-chunk page lists consumed ON DEVICE.
+def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
+                        page_size: int, ray_chunk: int,
+                        interpret: bool = False):
+    """Trace + winner-state extraction over per-chunk page lists, ON DEVICE.
 
-    The production form on remote/tunneled TPUs: `counts`/`plist` are device
-    arrays (from a row-wise argsort of the cull mask), so the whole multi-wave
-    render stays a single dispatch chain with no host round trips.  Grid is
-    (NC,); each chunk loops over counts[c] pages, double-buffering packed page
-    blocks HBM->VMEM (pallas_guide double-buffering pattern) while the VPU
-    evaluates the previous page.
+    The production form on remote/tunneled TPUs: `counts`/`plist`/`ptmin` are
+    device arrays (from the packet cull), so the whole multi-wave render stays
+    a single dispatch chain with no host round trips, no gathers, and no
+    scatters.
 
-    O, D: [R, 3] with R a multiple of ray_chunk.  counts: [NC] int32.
-    plist: [NC, NP] int32 — surviving page ids first (row-wise).
-    Returns (best_t, best_id) [R].
+    OT, DT: [3, R] with R a multiple of ray_chunk (xyz-major — [R, 3] arrays
+    lane-pad 42x on TPU and must never exist on device).  counts: [NC] int32.
+    plist: [NC, NP] int32 — surviving pages first, front-to-back.
+    ptmin: [NC, NP] f32 — conservative entry distance per listed page.
+    Returns OUT [16, R] (rows ROW_*; see module constants).
     """
     RB = ray_chunk
-    R = O.shape[0]
+    R = OT.shape[1]
     NC = R // RB
     NP = PK.shape[0]
 
-    OT = O.T.astype(F32)
-    DT = D.T.astype(F32)
-
-    # meta [NC8, 1+NP] int32: col 0 = count, cols 1.. = page list.  Rows
-    # padded to a multiple of 8 (SMEM block alignment).
     NC8 = -(-NC // 8) * 8
     meta = jnp.zeros((NC8, 1 + NP), jnp.int32)
     meta = meta.at[:NC, 0].set(counts.astype(jnp.int32))
     meta = meta.at[:NC, 1:].set(plist.astype(jnp.int32))
+    ptm = jnp.full((NC8, NP), jnp.inf, F32).at[:NC].set(ptmin.astype(F32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -222,32 +318,28 @@ def nearest_hit_pallas_pages(O, D, PK, counts, plist,
         in_specs=[
             pl.BlockSpec((8, 1 + NP), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, NP), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),    # PK stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
+            pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
+            pltpu.VMEM((TRACE_ROWS, RB), F32),
             pltpu.VMEM((2, page_size, 128), F32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    best_t, best_id = pl.pallas_call(
-        functools.partial(_kernel_pages, page_size=page_size),
+    out = pl.pallas_call(
+        functools.partial(_kernel_trace, page_size=page_size),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((NC, 8, RB), F32),
-            jax.ShapeDtypeStruct((NC, 8, RB), F32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,
-    )(meta, OT, DT, PK)
+    )(meta, ptm, OT.astype(F32), DT.astype(F32), PK)[0]
 
-    best_t = best_t[:, 0, :].reshape(-1)
-    best_id = best_id[:, 0, :].reshape(-1)
-    return best_t, best_id.astype(jnp.int32)
+    return out

@@ -12,8 +12,13 @@ __all__ = ["quantize_u8", "write_png", "read_png", "rmse"]
 
 
 def quantize_u8(img: np.ndarray) -> np.ndarray:
-    """f32 [0,1] colors -> u8 via Rust `as u8` semantics (trunc/saturate/NaN->0)."""
-    x = np.asarray(img, dtype=np.float32) * np.float32(255.0)
+    """f32 [0,1] colors -> u8 via Rust `as u8` semantics (trunc/saturate/NaN->0).
+
+    u8 input passes through unchanged (already quantized, e.g. on device)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    x = img.astype(np.float32) * np.float32(255.0)
     x = np.nan_to_num(x, nan=0.0, posinf=255.0, neginf=0.0)
     return np.clip(np.trunc(x), 0.0, 255.0).astype(np.uint8)
 
