@@ -20,14 +20,22 @@ def main():
     import jax
 
     from rust_raytrace_tpu.models import teapot
-    from rust_raytrace_tpu.render import WavefrontRenderer
     from rust_raytrace_tpu.scene import reference_asset
     from rust_raytrace_tpu.utils import png
 
     scene, vp = teapot.build(resolution="2k")
-    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    renderer = WavefrontRenderer(scene, backend=backend, page_size=256,
-                                 ray_chunk=1024)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from rust_raytrace_tpu.engine import Engine
+
+        backend = "engine"
+        renderer = Engine(scene, page_size=256, ray_chunk=1024)
+    else:
+        from rust_raytrace_tpu.render import WavefrontRenderer
+
+        backend = "xla"
+        renderer = WavefrontRenderer(scene, backend=backend, page_size=256,
+                                     ray_chunk=1024)
 
     # warmup (compilation)
     renderer.render(vp, key=jax.random.PRNGKey(0))

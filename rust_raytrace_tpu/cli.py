@@ -37,8 +37,11 @@ from .utils.progress import create_ctx
 
 def build_scene(args):
     build = REGISTRY[args.scene]
-    kwargs = dict(resolution=args.resolution, maxdepth=args.maxdepth,
-                  samples=args.spp)
+    res = args.resolution
+    if isinstance(res, str) and "x" in res and res[0].isdigit():
+        w, h = res.split("x")
+        res = (int(w), int(h))      # explicit WxH, e.g. --resolution 640x480
+    kwargs = dict(resolution=res, maxdepth=args.maxdepth, samples=args.spp)
     return build(**kwargs)
 
 

@@ -42,7 +42,8 @@ import numpy as np
 
 from . import math3d as m3
 from .camera import Viewport
-from .ops.cull import chunk_bounds, cull_mask_tmin
+from .ops.cull import (chunk_bounds, chunk_bounds_octants, cull_mask_tmin,
+                       cull_mask_tmin_octants)
 from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
                                    ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS,
                                    trace_chunks_pallas)
@@ -127,13 +128,14 @@ def _camera_rays_tiled(orig, cam, vu, vv, key, *, width: int, height: int,
     return jnp.where(live, px_u, 0.0), jnp.where(live, d, 0.0)
 
 
-def _shade_rows(rows, o, d, weight, valid, rv):
+def _shade_rows(rows, o, d, weight, valid, rv, shadowed=None):
     """Elementwise shading from trace-kernel winner rows ([16, R]).
 
     Same color algebra as render.shade_active (project_ray/color_ray,
     raytrace.rs:1199-1295) but with all winner data inline — no gathers.
-    o, d, rv: [3, R] columns.  Returns (contrib [3, R], weight', alive',
-    o', d').
+    o, d, rv: [3, R] columns.  `shadowed` ([R] bool) blacks out the surface
+    color term (the commented shadow design, raytrace.rs:1203-1224).
+    Returns (contrib [3, R], weight', alive', o', d').
     """
     t = rows[ROW_T:ROW_T + 1]                       # [1, R]
     miss = rows[ROW_ID:ROW_ID + 1] == 0.0
@@ -143,6 +145,8 @@ def _shade_rows(rows, o, d, weight, valid, rv):
     edge = jnp.mod(jnp.floor(enc / 4.0), 2.0) == 1.0
     back = enc >= 8.0
     color = rows[ROW_COLOR:ROW_COLOR + 3]           # [3, R]
+    if shadowed is not None:
+        color = jnp.where(shadowed[None, :], 0.0, color)
     alpha = rows[ROW_ALPHA:ROW_ALPHA + 1]
     scat = rows[ROW_SCAT:ROW_SCAT + 1]
     valid = valid[None, :]                          # [1, R]
@@ -180,11 +184,14 @@ def _shade_rows(rows, o, d, weight, valid, rv):
 @functools.partial(jax.jit,
                    static_argnames=("maxdepth", "ray_chunk", "page_size",
                                     "fixed_rng", "interpret", "want_primary",
-                                    "quantize", "spp"))
+                                    "quantize", "spp", "has_lights",
+                                    "weight_cutoff"))
 def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
                    maxdepth: int, ray_chunk: int, page_size: int,
                    fixed_rng: bool, interpret: bool, want_primary: bool,
-                   quantize: bool, spp: int):
+                   quantize: bool, spp: int, has_lights: bool = False,
+                   light_orig=None, light_len2=None,
+                   weight_cutoff: float = 0.0):
     """Full multi-wave render on padded tile-order rays ([3, R], R % RB == 0).
 
     Returns (img [3, R or R/spp] in tile order, wave_counts [maxdepth],
@@ -208,8 +215,14 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
         o_m = jnp.where(alive[None, :], o, 0.0)
         d_m = jnp.where(alive[None, :], d, 0.0)
 
-        olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, alive, RB)
-        mask, tmin = cull_mask_tmin(olo, ohi, dlo, dhi, aabb_lo, aabb_hi)
+        if wave == 0:
+            # primary chunks are coherent tiles: one bound suffices
+            olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, alive, RB)
+            mask, tmin = cull_mask_tmin(olo, ohi, dlo, dhi, aabb_lo, aabb_hi)
+        else:
+            # bounce chunks mix scatter directions: split by octant
+            b8 = chunk_bounds_octants(o_m, d_m, alive, RB)
+            mask, tmin = cull_mask_tmin_octants(*b8, aabb_lo, aabb_hi)
         counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
         plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
         ptmin = jnp.take_along_axis(tmin, plist, axis=1)
@@ -226,9 +239,51 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
         else:
             rv = _random_unit_rows(jax.random.fold_in(key, wave), R)
 
+        shadowed = None
+        if has_lights:
+            # Shadow-ray pass (commented reference design, raytrace.rs:
+            # 600-610, 1203-1224): jittered ray to the light from each hit;
+            # shadowed if any OTHER triangle intersects it.
+            hid = rows[ROW_ID:ROW_ID + 1]
+            hit_mask = alive[None, :] & (hid != 0.0)
+            t_row = rows[ROW_T:ROW_T + 1]
+            point = o_m + jnp.where(hit_mask, t_row, 0.0) * d_m
+            nrm = rows[ROW_NORM:ROW_NORM + 3]
+            back = rows[ROW_ENC:ROW_ENC + 1] >= 8.0
+            norm_f = jnp.where(back, -nrm, nrm)
+            skey = jax.random.fold_in(key, 7_000_000 + wave)
+            if fixed_rng:
+                u3 = jnp.full((3, R), 0.5, F32)
+                u1 = jnp.full((1, R), 0.5, F32)
+            else:
+                u3 = jax.random.uniform(jax.random.fold_in(skey, 0), (3, R),
+                                        dtype=F32)
+                u1 = jax.random.uniform(jax.random.fold_in(skey, 1), (1, R),
+                                        dtype=F32)
+            adj = light_orig[:, None] + u3 * light_len2
+            sd = _unit_rows(adj - point)
+            so = point + norm_f * (F32(0.005) * (u1 + F32(1.0)))
+            so_m = jnp.where(hit_mask, so, 0.0)
+            sd_m = jnp.where(hit_mask, sd, 0.0)
+            sb8 = chunk_bounds_octants(so_m, sd_m, hit_mask[0], RB)
+            smask, stmin = cull_mask_tmin_octants(*sb8, aabb_lo, aabb_hi)
+            scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
+            splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
+            sptmin = jnp.take_along_axis(stmin, splist, axis=1)
+            srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
+                                        sptmin, page_size, RB,
+                                        interpret=interpret)
+            sid = srows[ROW_ID:ROW_ID + 1]
+            shadowed = (hit_mask & (sid != 0.0) & (sid != hid))[0]
+
         contrib, weight, alive, o, d = _shade_rows(rows, o_m, d_m, weight,
-                                                   alive, rv)
+                                                   alive, rv, shadowed)
         accum = accum + contrib
+        if weight_cutoff > 0.0:
+            # A ray's entire remaining contribution is bounded by its weight
+            # (colors <= 1), so terminating below ~1/2 of a u8 quantization
+            # step is visually lossless; 0.0 disables (bit-exact mode).
+            alive = alive & (weight > weight_cutoff)
 
     img = accum
     if quantize:
@@ -250,8 +305,9 @@ class Engine:
 
     def __init__(self, scene: Scene, page_size: int = 256,
                  ray_chunk: int = 1024, interpret: bool = False,
-                 pinhole_origin: bool = True):
+                 pinhole_origin: bool = True, weight_cutoff: float = 1 / 512):
         self.pinhole_origin = pinhole_origin
+        self.weight_cutoff = weight_cutoff
         self.pages = build_pages_morton(scene.tris, page_size=page_size)
         self.tensors = upload_scene(scene, pages=self.pages)
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
@@ -303,11 +359,18 @@ class Engine:
             o = jnp.broadcast_to(jnp.asarray(v.cam)[:, None], o.shape)
         alive0 = jnp.arange(R) < R0
 
+        lights = self.scene.lights
         img_dev, wave_counts, primary = _render_device(
             self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
             maxdepth=v.maxdepth, ray_chunk=RB, page_size=self.page_size,
             fixed_rng=fixed_rng, interpret=self.interpret,
-            want_primary=debug, quantize=quant, spp=spp)
+            want_primary=debug, quantize=quant, spp=spp,
+            has_lights=lights is not None,
+            light_orig=(jnp.asarray(lights.orig, dtype=F32)
+                        if lights is not None else None),
+            light_len2=(jnp.asarray(lights.len2, dtype=F32)
+                        if lights is not None else None),
+            weight_cutoff=0.0 if fixed_rng else self.weight_cutoff)
 
         # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
         # 1000x slower on this platform).

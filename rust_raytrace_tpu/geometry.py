@@ -84,6 +84,20 @@ def make_triangles(points: np.ndarray, surface: Surface,
     """
     points = np.asarray(points, dtype=F32)
     n = points.shape[0]
+
+    # Native C++ fast path (same math; see native/scene_pipeline.cc)
+    from .utils import native
+    if n >= 1024 and native.available():
+        nat = native.make_triangles_native(points)
+        if nat is not None:
+            incenter, norm, sides, side_lens, bounding_r2 = nat
+            return TriangleArrays(
+                corners=points, incenter=incenter, norm=norm,
+                bounding_r2=bounding_r2, sides=sides, side_lens=side_lens,
+                edge_thickness=np.full(n, edge_thickness, dtype=F32),
+                materials=MaterialTable.broadcast(surface, n),
+            )
+
     a, b, c = points[:, 0], points[:, 1], points[:, 2]
     incenter = (a + b + c) / F32(3.0)
 

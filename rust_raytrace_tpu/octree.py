@@ -147,15 +147,48 @@ def box_contains_polygon(orig, len2, tris: TriangleArrays,
 
 
 def build_bounding_box(tris: TriangleArrays, orig, len2: float,
-                       maxdepth: int, minobjs: int) -> Octree:
+                       maxdepth: int, minobjs: int,
+                       use_native: bool = True) -> Octree:
     """Reference `build_bounding_box` (raytrace.rs:790-845): triangles 1..N-1
-    filtered recursively into octants; leaf when < minobjs or depth maxed."""
+    filtered recursively into octants; leaf when < minobjs or depth maxed.
+
+    Uses the C++ pipeline (native/scene_pipeline.cc) when available; the
+    vectorized-numpy build below is the fallback and test oracle.
+    """
+    if use_native:
+        from .utils import native
+        if native.available():
+            flat = native.build_octree_native(tris, orig, len2, maxdepth,
+                                              minobjs)
+            if flat is not None:
+                if flat["root"] < 0:
+                    raise ValueError("no triangles inside the root box")
+                return _from_flat(flat, flat["root"])
+
     refvec = np.arange(1, len(tris), dtype=np.int64)
     node = _build_helper(tris, refvec, np.asarray(orig, dtype=F32),
                          F32(len2), 0, maxdepth, minobjs)
     if node is None:
         raise ValueError("no triangles inside the root box")
     return node
+
+
+def _from_flat(flat: dict, i: int) -> Octree:
+    """Rebuild the Octree dataclass from the native flat arrays."""
+    if flat["num_children"][i] == 0:
+        s = int(flat["leaf_start"][i])
+        c = int(flat["leaf_count"][i])
+        return Octree(orig=flat["node_orig"][i].copy(),
+                      len2=float(flat["node_len2"][i]),
+                      depth=int(flat["node_depth"][i]),
+                      tri_indices=flat["leaf_tris"][s:s + c].copy())
+    cs = int(flat["children_start"][i])
+    nc = int(flat["num_children"][i])
+    kids = [_from_flat(flat, int(flat["child_indices"][cs + j]))
+            for j in range(nc)]
+    return Octree(orig=flat["node_orig"][i].copy(),
+                  len2=float(flat["node_len2"][i]),
+                  depth=int(flat["node_depth"][i]), children=kids)
 
 
 def _build_helper(tris, objs, orig, len2, depth, maxdepth, minobjs):

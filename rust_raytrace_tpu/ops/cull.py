@@ -109,6 +109,52 @@ def cull_mask_tmin(olo, ohi, dlo, dhi, blo, bhi):
     return hit, jnp.where(hit, tmin, jnp.inf)
 
 
+def chunk_bounds_octants(ot, dt, valid, ray_chunk: int):
+    """Per-chunk, per-direction-OCTANT bounds: [8, NC, 3] each.
+
+    A bounce chunk mixes scatter directions; a single direction AABB then
+    straddles zero on every axis and the interval test degenerates to
+    t in [0, inf).  Splitting by direction octant (sign pattern of d) makes
+    each sub-bundle's direction box sign-definite, so the per-axis t
+    intervals bite again.  Chunk x page survives if ANY octant's test does.
+    """
+    R = ot.shape[1]
+    NC = R // ray_chunk
+    o = ot.reshape(3, NC, ray_chunk)
+    d = dt.reshape(3, NC, ray_chunk)
+    v = valid.reshape(1, NC, ray_chunk)
+
+    oct_id = ((d[0:1] < 0) + 2 * (d[1:2] < 0) + 4 * (d[2:3] < 0))  # [1,NC,RB]
+    big = jnp.asarray(INF, F32)
+
+    olo, ohi, dlo, dhi = [], [], [], []
+    for q in range(8):
+        vq = v & (oct_id == q)
+        olo.append(jnp.min(jnp.where(vq, o, big), axis=-1).T)
+        ohi.append(jnp.max(jnp.where(vq, o, -big), axis=-1).T)
+        dlo.append(jnp.min(jnp.where(vq, d, big), axis=-1).T)
+        dhi.append(jnp.max(jnp.where(vq, d, -big), axis=-1).T)
+    return (jnp.stack(olo), jnp.stack(ohi), jnp.stack(dlo), jnp.stack(dhi))
+
+
+def cull_mask_tmin_octants(olo8, ohi8, dlo8, dhi8, blo, bhi):
+    """Octant-split cull: ([NC, NP] bool, [NC, NP] f32 tmin).
+
+    Runs the interval test per octant (batched as [8*NC, NP]) and merges:
+    a page survives if any octant hits it; its tmin is the min over hitting
+    octants (still a valid conservative entry bound).
+    """
+    nc = olo8.shape[1]
+    hit8, tmin8 = cull_mask_tmin(
+        olo8.reshape(8 * nc, 3), ohi8.reshape(8 * nc, 3),
+        dlo8.reshape(8 * nc, 3), dhi8.reshape(8 * nc, 3), blo, bhi)
+    hit8 = hit8.reshape(8, nc, -1)
+    tmin8 = tmin8.reshape(8, nc, -1)
+    hit = jnp.any(hit8, axis=0)
+    tmin = jnp.min(jnp.where(hit8, tmin8, INF), axis=0)
+    return hit, jnp.where(hit, tmin, INF)
+
+
 def ray_aabb_hits(o, d, blo, bhi):
     """Exact per-ray slab test [R, NP] (test oracle for cull_mask's
     conservativeness; the reference slab test is BoundingBox::collides,

@@ -182,6 +182,12 @@ def morton_order(tris: TriangleArrays) -> np.ndarray:
     leaf they touch, raytrace.rs:790-845), Morton pages reference each
     triangle exactly once.
     """
+    from ..utils import native
+    if len(tris) >= 1024 and native.available():
+        nat = native.morton_order_native(tris.incenter)
+        if nat is not None:
+            return nat
+
     c = tris.incenter[1:]
     lo = c.min(axis=0)
     span = np.maximum(c.max(axis=0) - lo, 1e-20)

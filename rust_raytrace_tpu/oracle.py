@@ -37,17 +37,22 @@ BLACK = m3.make_color((0, 0, 0))
 
 
 class FixedRng:
-    """Deterministic `random_vec` source: always the same unit vector.
+    """Deterministic random source: constant unit vector / constant uniforms.
 
-    Makes Matte/Reflective bounce chains reproducible across backends (the
-    production JAX path accepts the same object in oracle-comparison mode).
+    Makes Matte/Reflective bounce chains and shadow-ray jitter reproducible
+    across backends (the production JAX path accepts the same constants in
+    oracle-comparison mode).
     """
 
-    def __init__(self, v=(0.36, 0.48, 0.8)):
+    def __init__(self, v=(0.36, 0.48, 0.8), u=0.5):
         self._v = m3.unit(np.asarray(v, dtype=F32))
+        self._u = F32(u)
 
     def unit_vec(self, shape=()):
         return np.broadcast_to(self._v, shape + (3,)).copy()
+
+    def uniform(self, shape=()):
+        return np.broadcast_to(self._u, shape).copy()
 
 
 class NumpyRng:
@@ -59,6 +64,9 @@ class NumpyRng:
     def unit_vec(self, shape=()):
         v = self._rng.random(shape + (3,), dtype=np.float32) - F32(0.5)
         return m3.unit(v)
+
+    def uniform(self, shape=()):
+        return self._rng.random(shape, dtype=np.float32)
 
 
 def intersect_all(tris: TriangleArrays, orig: np.ndarray, d: np.ndarray):
@@ -136,13 +144,39 @@ class OracleStats:
     counts: Dict[str, int] = field(default_factory=dict)
 
 
+def shadow_ray(light, point, norm_f, rng):
+    """Jittered shadow ray to the light (the commented `get_shadow_ray`
+    design, raytrace.rs:600-610): light position jittered by uniform*len2 per
+    component, origin offset along the normal by 0.005*(uniform+1)."""
+    jitter = rng.uniform((3,)).astype(F32) * F32(light.len2)
+    adj = np.asarray(light.orig, dtype=F32) + jitter
+    d = m3.unit(adj - point)
+    smudge = norm_f * F32(0.005) * (rng.uniform(()) + F32(1.0))
+    return point + smudge, d
+
+
+def is_shadowed(tris: TriangleArrays, light, point, norm_f, self_idx: int,
+                rng) -> bool:
+    """Occlusion query per the commented design (raytrace.rs:1204-1224):
+    shadowed if any OTHER object intersects the shadow ray (no distance
+    limit, self excluded by id)."""
+    o, d = shadow_ray(light, point, norm_f, rng)
+    t, valid, _, _ = intersect_all(tris, o, d)
+    valid = valid.copy()
+    valid[self_idx] = False
+    return bool(valid.any())
+
+
 def project_ray(tris: TriangleArrays, orig, d, depth: int, rng,
                 stats: Optional[OracleStats] = None,
-                debug_ctx=None) -> np.ndarray:
+                debug_ctx=None, lights=None) -> np.ndarray:
     """Recursive integrator (`project_ray`, raytrace.rs:1256-1295).
 
     depth==0 -> black (checked before anything else, raytrace.rs:1261-1263);
     miss -> sky blue; hit -> `color_ray` dispatch (raytrace.rs:1199-1254).
+    `lights` enables the shadow-ray extension (the commented-out design at
+    raytrace.rs:1203-1224): a shadowed hit contributes black instead of its
+    surface color.
     """
     if depth == 0:
         return BLACK.copy()
@@ -165,10 +199,15 @@ def project_ray(tris: TriangleArrays, orig, d, depth: int, rng,
 
     kind = int(tris.materials.kind[idx])
     color = tris.materials.color[idx]
+    norm_f0 = tris.norm[idx] * (F32(-1.0) if back else F32(1.0))
+    if lights is not None and is_shadowed(tris, lights, point, norm_f0, idx,
+                                          rng):
+        color = BLACK
+
     if kind == KIND_SOLID:
         return color.copy()
 
-    norm_f = tris.norm[idx] * (F32(-1.0) if back else F32(1.0))
+    norm_f = norm_f0
     alpha = F32(tris.materials.alpha[idx])
     if kind == KIND_MATTE:
         off, nd = lambertian_dir(norm_f, rng)
@@ -180,13 +219,14 @@ def project_ray(tris: TriangleArrays, orig, d, depth: int, rng,
     else:
         raise ValueError(f"bad material kind {kind}")
 
-    bounce = project_ray(tris, norig, nd, depth - 1, rng, stats, debug_ctx)
+    bounce = project_ray(tris, norig, nd, depth - 1, rng, stats, debug_ctx,
+                         lights)
     return m3.mix_color(color, bounce, alpha)
 
 
 def render(tris: TriangleArrays, v: Viewport, rng=None,
            stats: Optional[OracleStats] = None,
-           debug_ctx=None) -> np.ndarray:
+           debug_ctx=None, lights=None) -> np.ndarray:
     """Render [H, W, 3] with the recursive oracle (walk_ray_set semantics,
     raytrace.rs:1396-1440; box-filter average over samples at :1426)."""
     rng = rng or FixedRng()
@@ -202,6 +242,7 @@ def render(tris: TriangleArrays, v: Viewport, rng=None,
                 o, d = pixel_rays(v, np.asarray(row), np.asarray(col), jitter)
                 if debug_ctx is not None:
                     debug_ctx.register_ray(o, (row, col))
-                acc += project_ray(tris, o, d, v.maxdepth, rng, stats, debug_ctx)
+                acc += project_ray(tris, o, d, v.maxdepth, rng, stats,
+                                   debug_ctx, lights)
             img[row, col] = acc * (F32(1.0) / F32(v.samples_per_pixel))
     return img

@@ -1,0 +1,109 @@
+"""Auxiliary subsystems: progress stats, ray debug differ, CLI, worklist."""
+
+import io
+
+import numpy as np
+import pytest
+
+from rust_raytrace_tpu.ops.worklist import build_worklist, next_bucket
+from rust_raytrace_tpu.utils.progress import ProgressStat, create_ctx
+from rust_raytrace_tpu.utils.raydebug import DebugCtx
+
+
+def test_progress_stats_report():
+    ctx = create_ctx(4, 4, enable_io=False)
+    ctx.update(8, {"Rays": 100, "Render": 0.5},
+               kinds={"Rays": "count", "Render": "time"})
+    ctx.update(8, {"Rays": 50}, kinds={"Rays": "count"})
+    ctx.finish()
+    assert ctx.total_rays == 150
+    assert ctx.finished_pixels == 16
+    lines = []
+    ctx.print_stats(out=lines.append)
+    assert "million rays" in lines[0]
+    assert any(l.startswith("Render:") for l in lines)
+    assert any(l.startswith("Rays: 150") for l in lines)
+
+
+def test_debug_ctx_roundtrip_and_compare():
+    a = DebugCtx()
+    b = DebugCtx()
+    o = np.asarray([1.0, 2.0, 3.0])
+    d = np.asarray([0.0, 0.0, 1.0])
+    for ctx in (a, b):
+        ctx.register_ray(o, (0, 0))
+        ctx.add_ray(o, d)
+        ctx.update_ray_triangles(o, [5, 3, 5])
+    a.update_ray_hit(o, 3, 1.5)
+    b.update_ray_hit(o, 3, 1.5)
+
+    out = io.StringIO()
+    a.write_debug_header(out)
+    a.write_all_debug_context(out)
+    text = out.getvalue()
+    assert text.startswith("Pixel_x;Pixel_y;ray_p;ray_v;tri_hit;hit_t")
+    assert "3,5" in text  # deduped sorted candidate list
+
+    diff = io.StringIO()
+    assert a.compare_to(b, diff) == 0
+
+    # hit mismatch classified: b's hit is in a's candidate list
+    b.update_ray_hit(o, 5, 1.5)
+    diff = io.StringIO()
+    assert a.compare_to(b, diff) == 1
+    assert "Bad hit detection" in diff.getvalue()
+
+    # a's hit NOT in b's candidates -> "their tri list does not contain"
+    # (classification per debug.rs:194-204)
+    c = DebugCtx()
+    c.register_ray(o, (0, 0))
+    c.add_ray(o, d)
+    c.update_ray_triangles(o, [99])
+    c.update_ray_hit(o, 99, 1.5)
+    diff = io.StringIO()
+    a.compare_to(c, diff)
+    assert "does not contain our hit" in diff.getvalue()
+
+
+def test_worklist_builder():
+    mask = np.zeros((5, 4), dtype=bool)
+    mask[0, [1, 3]] = True
+    mask[2, 0] = True
+    # chunks 1, 3, 4 empty -> forced page 0
+    c, p, f = build_worklist(mask, bucket_min=8)
+    assert len(c) == 8
+    real = [(0, 1, 1), (0, 3, 0), (1, 0, 1), (2, 0, 1), (3, 0, 1), (4, 0, 1)]
+    got = list(zip(c.tolist(), p.tolist(), f.tolist()))[:6]
+    assert got == real
+    # padding repeats the final item with flag 0
+    tail = list(zip(c.tolist(), p.tolist(), f.tolist()))[6:]
+    assert all(x == (4, 0, 0) for x in tail)
+    assert next_bucket(100, 64) == 128
+    assert next_bucket(64, 64) == 64
+
+
+def test_cli_render_oracle(tmp_path):
+    from rust_raytrace_tpu.cli import main
+
+    out = str(tmp_path / "t.png")
+    rc = main(["render", "--scene", "circles", "--resolution", "16x16",
+               "--backend", "oracle", "--maxdepth", "2", "--out", out,
+               "--stats"])
+    assert rc == 0
+    from rust_raytrace_tpu.utils.png import read_png
+
+    img = read_png(out)
+    assert img.shape == (16, 16, 3)
+
+
+def test_cli_debug_csv(tmp_path):
+    from rust_raytrace_tpu.cli import main
+
+    csv = str(tmp_path / "d.csv")
+    rc = main(["render", "--scene", "circles", "--resolution", "16x16",
+               "--backend", "xla", "--maxdepth", "1", "--out",
+               str(tmp_path / "t.png"), "--debug-csv", csv])
+    assert rc == 0
+    text = open(csv).read()
+    assert text.startswith("Pixel_x;Pixel_y")
+    assert len(text.splitlines()) == 1 + 16 * 16

@@ -1,0 +1,60 @@
+"""Shadow-ray extension tests (commented reference design,
+raytrace.rs:600-610, 1203-1224; BASELINE config 3)."""
+
+import numpy as np
+import pytest
+
+from rust_raytrace_tpu import math3d as m3
+from rust_raytrace_tpu import oracle
+from rust_raytrace_tpu.camera import create_viewport
+from rust_raytrace_tpu.engine import Engine
+from rust_raytrace_tpu.geometry import make_triangles
+from rust_raytrace_tpu.materials import solid
+from rust_raytrace_tpu.scene import LightSource, assemble
+
+F32 = np.float32
+
+
+@pytest.fixture(scope="module")
+def shadow_scene():
+    """Floor + a small occluder between the floor's center and the light."""
+    floor = make_triangles(
+        np.asarray([[[-10, -2, -5], [10, -2, -5], [0, -2, 25]]], dtype=F32),
+        solid(m3.make_color((200, 200, 200))), 0.0)
+    # occluder directly above the floor around (0, 0, 6); light far above
+    occ = make_triangles(
+        np.asarray([[[-1.5, 0.5, 4.5], [1.5, 0.5, 4.5], [0, 0.5, 7.5]]],
+                   dtype=F32),
+        solid(m3.make_color((250, 50, 50))), 0.0)
+    scene = assemble([floor, occ])
+    scene.lights = LightSource(orig=np.asarray([0.0, 20.0, 6.0], dtype=F32),
+                               len2=0.0)
+    return scene
+
+
+@pytest.fixture(scope="module")
+def vp():
+    return create_viewport((32, 32), (1.0, 1.0), (0.0, 0.0, 0.0),
+                           m3.unit(m3.vec(0.0, -0.3, 1.0)), 90.0, 0.0, 2, 1)
+
+
+def test_oracle_shadowing(shadow_scene, vp):
+    img_lit = oracle.render(shadow_scene.tris, vp, rng=oracle.FixedRng())
+    img_sh = oracle.render(shadow_scene.tris, vp, rng=oracle.FixedRng(),
+                           lights=shadow_scene.lights)
+    # some floor pixels must turn black under the occluder...
+    newly_black = ((img_sh.max(axis=-1) < 1e-6)
+                   & (img_lit.max(axis=-1) > 0.5))
+    assert newly_black.any()
+    # ...but not all floor pixels
+    still_lit = (img_sh.max(axis=-1) > 0.5) & (img_lit.max(axis=-1) > 0.5)
+    assert still_lit.any()
+
+
+def test_engine_matches_oracle_with_shadows(shadow_scene, vp):
+    img_o = oracle.render(shadow_scene.tris, vp, rng=oracle.FixedRng(),
+                          lights=shadow_scene.lights)
+    eng = Engine(shadow_scene, page_size=64, ray_chunk=256, interpret=True)
+    res = eng.render(vp, fixed_rng=True, quantize=False)
+    diff = np.abs(res.image - img_o).max(axis=-1)
+    assert (diff > 1 / 255).mean() < 0.01
