@@ -185,13 +185,13 @@ def _shade_rows(rows, o, d, weight, valid, rv, shadowed=None):
                    static_argnames=("maxdepth", "ray_chunk", "page_size",
                                     "fixed_rng", "interpret", "want_primary",
                                     "quantize", "spp", "has_lights",
-                                    "weight_cutoff"))
+                                    "weight_cutoff", "bounce_chunk"))
 def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
                    maxdepth: int, ray_chunk: int, page_size: int,
                    fixed_rng: bool, interpret: bool, want_primary: bool,
                    quantize: bool, spp: int, has_lights: bool = False,
                    light_orig=None, light_len2=None,
-                   weight_cutoff: float = 0.0):
+                   weight_cutoff: float = 0.0, bounce_chunk: int = 0):
     """Full multi-wave render on padded tile-order rays ([3, R], R % RB == 0).
 
     Returns (img [3, R or R/spp] in tile order, wave_counts [maxdepth],
@@ -211,24 +211,27 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
     primary = None
 
     for wave in range(maxdepth):
+        # Bounce waves may use a smaller chunk (tighter bounds around sparse
+        # surviving rays -> fewer pages per chunk); chunking is just a view.
+        rb_w = RB if wave == 0 or not bounce_chunk else bounce_chunk
         wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
         o_m = jnp.where(alive[None, :], o, 0.0)
         d_m = jnp.where(alive[None, :], d, 0.0)
 
         if wave == 0:
             # primary chunks are coherent tiles: one bound suffices
-            olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, alive, RB)
+            olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, alive, rb_w)
             mask, tmin = cull_mask_tmin(olo, ohi, dlo, dhi, aabb_lo, aabb_hi)
         else:
             # bounce chunks mix scatter directions: split by octant
-            b8 = chunk_bounds_octants(o_m, d_m, alive, RB)
+            b8 = chunk_bounds_octants(o_m, d_m, alive, rb_w)
             mask, tmin = cull_mask_tmin_octants(*b8, aabb_lo, aabb_hi)
         counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
         plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
         ptmin = jnp.take_along_axis(tmin, plist, axis=1)
 
         rows = trace_chunks_pallas(o_m, d_m, st.PK, counts, plist, ptmin,
-                                   page_size, RB, interpret=interpret)
+                                   page_size, rb_w, interpret=interpret)
         if wave == 0 and want_primary:
             primary = rows[ROW_T:ROW_ID + 1]
 
@@ -265,13 +268,13 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
             so = point + norm_f * (F32(0.005) * (u1 + F32(1.0)))
             so_m = jnp.where(hit_mask, so, 0.0)
             sd_m = jnp.where(hit_mask, sd, 0.0)
-            sb8 = chunk_bounds_octants(so_m, sd_m, hit_mask[0], RB)
+            sb8 = chunk_bounds_octants(so_m, sd_m, hit_mask[0], rb_w)
             smask, stmin = cull_mask_tmin_octants(*sb8, aabb_lo, aabb_hi)
             scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
             splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
             sptmin = jnp.take_along_axis(stmin, splist, axis=1)
             srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
-                                        sptmin, page_size, RB,
+                                        sptmin, page_size, rb_w,
                                         interpret=interpret)
             sid = srows[ROW_ID:ROW_ID + 1]
             shadowed = (hit_mask & (sid != 0.0) & (sid != hid))[0]
@@ -295,7 +298,10 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
     return img, jnp.stack(wave_counts), primary
 
 
-class Engine:
+from .render import RayCaster
+
+
+class Engine(RayCaster):
     """Culled wavefront renderer (the performance path).
 
     Produces the same image as render.WavefrontRenderer (the cull is
@@ -303,11 +309,13 @@ class Engine:
     ray, and the shading algebra is shared); differs only in wave scheduling.
     """
 
-    def __init__(self, scene: Scene, page_size: int = 256,
+    def __init__(self, scene: Scene, page_size: int = 64,
                  ray_chunk: int = 1024, interpret: bool = False,
-                 pinhole_origin: bool = True, weight_cutoff: float = 1 / 512):
+                 pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
+                 bounce_chunk: int = 0):
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
+        self.bounce_chunk = bounce_chunk
         self.pages = build_pages_morton(scene.tris, page_size=page_size)
         self.tensors = upload_scene(scene, pages=self.pages)
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
@@ -370,7 +378,8 @@ class Engine:
                         if lights is not None else None),
             light_len2=(jnp.asarray(lights.len2, dtype=F32)
                         if lights is not None else None),
-            weight_cutoff=0.0 if fixed_rng else self.weight_cutoff)
+            weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
+            bounce_chunk=self.bounce_chunk)
 
         # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
         # 1000x slower on this platform).

@@ -233,8 +233,32 @@ class RenderResult:
         return self.rays_traced / max(self.seconds, 1e-12) / 1e6
 
 
-class WavefrontRenderer:
-    """The TPU RayCaster (analog of the `RayCaster` trait, raytrace.rs:1128-1165).
+class RayCaster:
+    """Backend protocol (the `RayCaster` trait, raytrace.rs:1128-1165).
+
+    The reference trait spawns the backend on a scoped thread and pumps an
+    mpsc progress channel from the main thread; in the batched design a
+    backend exposes `render(viewport, ...) -> RenderResult` and `walk_rays`
+    wraps it with a ProgressCtx for name-compatible usage.
+    """
+
+    def render(self, v: Viewport, **kw) -> "RenderResult":   # pragma: no cover
+        raise NotImplementedError
+
+    def walk_rays(self, v: Viewport, show_progress: bool = False, **kw):
+        """Reference-shaped entry point: renders and returns (result,
+        ProgressCtx) with stats accumulated (walk_rays, raytrace.rs:1133-1163).
+        """
+        from .utils.progress import create_ctx
+
+        ctx = create_ctx(v.width, v.height, enable_io=show_progress)
+        result = self.render(v, progress=ctx, **kw)
+        ctx.finish()
+        return result, ctx
+
+
+class WavefrontRenderer(RayCaster):
+    """The simple full-batch TPU RayCaster.
 
     backend: "pallas" (TPU production), "xla" (portable), "pallas_interpret"
     (no-TPU kernel debugging, the `interpret=True` analog of the reference's
