@@ -27,8 +27,24 @@ TILE_AXIS = "tiles"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D tile mesh over n devices.
+
+    Falls back to virtual CPU devices when the default backend has fewer
+    devices than requested (single-chip dev environments): requires
+    JAX_NUM_CPU_DEVICES (or jax_num_cpu_devices set before backend init).
+    """
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        try:
+            jax.config.update("jax_num_cpu_devices", n)
+        except Exception:
+            pass  # backend already initialized; hope env was set
+        devices = jax.local_devices(backend="cpu")
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices, have {len(devices)} "
+            "(set JAX_NUM_CPU_DEVICES or use a larger topology)")
     return Mesh(np.asarray(devices[:n]), (TILE_AXIS,))
 
 
@@ -64,3 +80,43 @@ def shard_rays(o, d, mesh: Mesh):
     """Place ray arrays with tile sharding (device_put with NamedSharding)."""
     sharding = NamedSharding(mesh, P(TILE_AXIS))
     return jax.device_put(o, sharding), jax.device_put(d, sharding)
+
+
+def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
+                          maxdepth: int, interpret: bool = False):
+    """The production engine's full multi-wave render, sharded over chips.
+
+    o, d: [3, R] tile-order rays with R divisible by mesh size x ray_chunk.
+    Each chip runs the complete culled wavefront pipeline (packet cull, trace
+    megakernel, shading) on its ray shard — rays are independent, so the only
+    collective is the psum of per-wave ray counters.  Returns
+    (img_u8 [3, R] sharded, wave_counts [maxdepth] global).
+
+    On a real multi-chip TPU this runs the Pallas kernel per chip; for
+    virtual CPU meshes pass interpret=True.
+    """
+    from ..engine import _render_device
+
+    n = mesh.shape[TILE_AXIS]
+    R = o.shape[1]
+    assert R % (n * engine.ray_chunk) == 0
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, TILE_AXIS), P(None, TILE_AXIS),
+                  P(TILE_AXIS), P()),
+        out_specs=(P(None, TILE_AXIS), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    def step(st, lo, hi, o_sh, d_sh, alive_sh, key_rep):
+        img, wave_counts, _ = _render_device(
+            st, lo, hi, o_sh, d_sh, alive_sh, key_rep,
+            maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
+            page_size=engine.page_size, fixed_rng=False,
+            interpret=interpret, want_primary=False, quantize=True, spp=1,
+            weight_cutoff=engine.weight_cutoff)
+        return img, jax.lax.psum(wave_counts, TILE_AXIS)
+
+    return step(engine.tensors, engine.aabb_lo, engine.aabb_hi, o, d, alive,
+                key)

@@ -8,6 +8,7 @@ initializes, hence module import order matters (pytest loads conftest first).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np
 import pytest
+
+import jax
+
+# Some dev platforms register an experimental TPU plugin that ignores
+# JAX_PLATFORMS; pin computation to the (virtual 8-device) CPU backend.
+try:
+    _cpu = jax.local_devices(backend="cpu")
+    jax.config.update("jax_default_device", _cpu[0])
+except Exception:        # pragma: no cover - CPU backend always exists
+    pass
 
 from rust_raytrace_tpu.scene import reference_asset
 
