@@ -42,14 +42,14 @@ import numpy as np
 
 from . import math3d as m3
 from .camera import Viewport
-from .ops.cull import (chunk_bounds, chunk_bounds_octants, cull_mask_tmin,
-                       cull_mask_tmin_octants)
+from .ops.cull import (chunk_bounds, chunk_bounds_octants, cull_mask_exact,
+                       cull_mask_tmin, cull_mask_tmin_octants)
 from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
-                                   ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS,
-                                   trace_chunks_pallas)
+                                   ROW_NORM, ROW_SCAT, ROW_T,
+                                   fold_pages_origin, trace_chunks_pallas)
 from .ops.pages import build_pages_morton
-from .render import (KIND_MATTE, KIND_REFLECTIVE, RenderResult, SceneTensors,
-                     _random_unit_vec, _unit, upload_scene)
+from .render import (KIND_MATTE, KIND_REFLECTIVE, RayCaster, RenderResult,
+                     SceneTensors, _unit, upload_scene)
 from .scene import Scene
 
 F32 = jnp.float32
@@ -185,13 +185,15 @@ def _shade_rows(rows, o, d, weight, valid, rv, shadowed=None):
                    static_argnames=("maxdepth", "ray_chunk", "page_size",
                                     "fixed_rng", "interpret", "want_primary",
                                     "quantize", "spp", "has_lights",
-                                    "weight_cutoff", "bounce_chunk"))
+                                    "weight_cutoff", "bounce_chunk",
+                                    "nbuf", "exact_cull"))
 def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
                    maxdepth: int, ray_chunk: int, page_size: int,
                    fixed_rng: bool, interpret: bool, want_primary: bool,
                    quantize: bool, spp: int, has_lights: bool = False,
                    light_orig=None, light_len2=None,
-                   weight_cutoff: float = 0.0, bounce_chunk: int = 0):
+                   weight_cutoff: float = 0.0, bounce_chunk: int = 0,
+                   pk0=None, nbuf: int = 2, exact_cull: bool = False):
     """Full multi-wave render on padded tile-order rays ([3, R], R % RB == 0).
 
     Returns (img [3, R or R/spp] in tile order, wave_counts [maxdepth],
@@ -218,7 +220,11 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
         o_m = jnp.where(alive[None, :], o, 0.0)
         d_m = jnp.where(alive[None, :], d, 0.0)
 
-        if wave == 0:
+        if exact_cull:
+            # exact per-ray slab tests, chunk-reduced (tightest page lists)
+            mask, tmin = cull_mask_exact(o_m, d_m, alive, aabb_lo, aabb_hi,
+                                         rb_w)
+        elif wave == 0:
             # primary chunks are coherent tiles: one bound suffices
             olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, alive, rb_w)
             mask, tmin = cull_mask_tmin(olo, ohi, dlo, dhi, aabb_lo, aabb_hi)
@@ -230,8 +236,16 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
         plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
         ptmin = jnp.take_along_axis(tmin, plist, axis=1)
 
-        rows = trace_chunks_pallas(o_m, d_m, st.PK, counts, plist, ptmin,
-                                   page_size, rb_w, interpret=interpret)
+        if wave == 0 and pk0 is not None:
+            # pinhole primaries: origin folded into page scalars (half the
+            # per-pair dot products; see fold_pages_origin)
+            rows = trace_chunks_pallas(o_m, d_m, pk0, counts, plist, ptmin,
+                                       page_size, rb_w, interpret=interpret,
+                                       zero_origin=True, nbuf=nbuf)
+        else:
+            rows = trace_chunks_pallas(o_m, d_m, st.PK, counts, plist, ptmin,
+                                       page_size, rb_w, interpret=interpret,
+                                       nbuf=nbuf)
         if wave == 0 and want_primary:
             primary = rows[ROW_T:ROW_ID + 1]
 
@@ -275,7 +289,7 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
             sptmin = jnp.take_along_axis(stmin, splist, axis=1)
             srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
                                         sptmin, page_size, rb_w,
-                                        interpret=interpret)
+                                        interpret=interpret, nbuf=nbuf)
             sid = srows[ROW_ID:ROW_ID + 1]
             shadowed = (hit_mask & (sid != 0.0) & (sid != hid))[0]
 
@@ -298,7 +312,7 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
     return img, jnp.stack(wave_counts), primary
 
 
-from .render import RayCaster
+
 
 
 class Engine(RayCaster):
@@ -312,10 +326,13 @@ class Engine(RayCaster):
     def __init__(self, scene: Scene, page_size: int = 64,
                  ray_chunk: int = 1024, interpret: bool = False,
                  pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
-                 bounce_chunk: int = 0):
+                 bounce_chunk: int = 0, nbuf: int = 4,
+                 exact_cull: bool = True):
+        self.exact_cull = exact_cull
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
         self.bounce_chunk = bounce_chunk
+        self.nbuf = nbuf
         self.pages = build_pages_morton(scene.tris, page_size=page_size)
         self.tensors = upload_scene(scene, pages=self.pages)
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
@@ -325,6 +342,7 @@ class Engine(RayCaster):
         self.interpret = interpret
         self.scene = scene
         self._perm_cache = {}
+        self._pk0_cache = {}
 
     def _perm(self, v: Viewport, tile: int) -> np.ndarray:
         key = (v.height, v.width, v.samples_per_pixel, tile)
@@ -356,15 +374,23 @@ class Engine(RayCaster):
             jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
             jnp.asarray(v.vv), key, width=v.width, height=v.height, spp=spp,
             tile=tile, n_pad=R)
+        pk0 = None
         if self.pinhole_origin:
             # Primary rays re-anchored at the pinhole: same geometric lines
             # (d = unit(px_u - cam)), but chunk origin bounds collapse to a
             # point, which sharpens the packet cull's t intervals and the
-            # front-to-back early exit.  Only differs from the reference's
-            # image-plane origins (raytrace.rs:1391-1393) for geometry inside
-            # the 0.5-unit pinhole->plane wedge, where the reference would
+            # front-to-back early exit, and the origin folds into the page
+            # scalars (fold_pages_origin) so the wave-0 kernel skips half its
+            # dot products.  Only differs from the reference's image-plane
+            # origins (raytrace.rs:1391-1393) for geometry inside the
+            # 0.5-unit pinhole->plane wedge, where the reference would
             # reject the hit (t < 0); no shipped scene has such geometry.
             o = jnp.broadcast_to(jnp.asarray(v.cam)[:, None], o.shape)
+            cam_key = tuple(np.asarray(v.cam, dtype=np.float32).tolist())
+            if cam_key not in self._pk0_cache:
+                self._pk0_cache[cam_key] = fold_pages_origin(
+                    self.tensors.PK, jnp.asarray(v.cam, dtype=F32))
+            pk0 = self._pk0_cache[cam_key]
         alive0 = jnp.arange(R) < R0
 
         lights = self.scene.lights
@@ -379,7 +405,8 @@ class Engine(RayCaster):
             light_len2=(jnp.asarray(lights.len2, dtype=F32)
                         if lights is not None else None),
             weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
-            bounce_chunk=self.bounce_chunk)
+            bounce_chunk=self.bounce_chunk, pk0=pk0, nbuf=self.nbuf,
+            exact_cull=self.exact_cull)
 
         # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
         # 1000x slower on this platform).
@@ -420,3 +447,23 @@ class Engine(RayCaster):
         if progress is not None:
             progress.update_wavefront(result)
         return result
+
+    def walk_one_ray(self, v: Viewport, px) -> RenderResult:
+        """Single-pixel probe (Viewport::walk_one_ray, raytrace.rs:1442-1455;
+        the CUDA cast_one_ray analog) through the portable trace path."""
+        from .camera import pixel_rays
+        from .render import trace_rays
+
+        row, col = px
+        o_np, d_np = pixel_rays(v, np.asarray(row), np.asarray(col))
+        o = jnp.asarray(o_np[None], dtype=F32)
+        d = jnp.asarray(d_np[None], dtype=F32)
+        colors, aux = trace_rays(self.tensors, o, d, jax.random.PRNGKey(0),
+                                 maxdepth=v.maxdepth, backend="xla",
+                                 ray_chunk=128)
+        wave_rays = np.asarray(aux["wave_rays"])
+        return RenderResult(
+            image=np.asarray(colors).reshape(1, 1, 3),
+            rays_traced=int(wave_rays.sum()), wave_rays=wave_rays,
+            primary_t=np.asarray(aux["primary_t"]).reshape(1, 1),
+            primary_id=np.asarray(aux["primary_id"]).reshape(1, 1))

@@ -155,6 +155,48 @@ def cull_mask_tmin_octants(olo8, ohi8, dlo8, dhi8, blo, bhi):
     return hit, jnp.where(hit, tmin, INF)
 
 
+def cull_mask_exact(ot, dt, valid, blo, bhi, ray_chunk: int):
+    """Exact per-ray slab tests, OR/min-reduced per chunk: the TIGHTEST
+    possible chunk x page mask (the union of each live ray's actual AABB
+    hits; interval-arithmetic bounds can only be a superset).
+
+    ot, dt: [3, R]; valid: [R]; blo/bhi: [NP, 3].
+    Returns ([NC, NP] mask, [NC, NP] conservative entry tmin).
+
+    Cost is ~20 ops per (ray, page) pair — trivially elementwise, fused by
+    XLA into the chunk reduction (no [R, NP] materialization of f32 temps
+    survives; the engine A/Bs this against the octant bounds).
+    """
+    R = ot.shape[1]
+    NC = R // ray_chunk
+    o = ot.reshape(3, NC, ray_chunk)
+    d = dt.reshape(3, NC, ray_chunk)
+    v = valid.reshape(NC, ray_chunk)
+
+    inv = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
+
+    def one_page(page):
+        lo, hi = page                                 # [3] each
+        tlo = jnp.full((NC, ray_chunk), -INF, F32)
+        thi = jnp.full((NC, ray_chunk), INF, F32)
+        for k in range(3):                            # unrolled axes
+            t1 = (lo[k] - o[k]) * inv[k]
+            t2 = (hi[k] - o[k]) * inv[k]
+            tlo = jnp.maximum(tlo, jnp.minimum(t1, t2))
+            thi = jnp.minimum(thi, jnp.maximum(t1, t2))
+        hit_ray = (tlo <= thi) & (thi >= 0) & v       # [NC, RB]
+        hit = jnp.any(hit_ray, axis=-1)               # [NC]
+        entry = jnp.where(hit_ray, jnp.maximum(tlo, 0.0), INF)
+        return hit, jnp.min(entry, axis=-1)
+
+    # scan over pages keeps temporaries at [NC, RB] (a few MB), which XLA
+    # fuses; the broadcast [3, NC, NP, RB] formulation OOMs at 2k resolution.
+    hit_pn, tmin_pn = jax.lax.map(one_page, (blo, bhi))
+    mask = hit_pn.T                                   # [NC, NP]
+    tmin = tmin_pn.T
+    return mask, jnp.where(mask, tmin, INF)
+
+
 def ray_aabb_hits(o, d, blo, bhi):
     """Exact per-ray slab test [R, NP] (test oracle for cull_mask's
     conservativeness; the reference slab test is BoundingBox::collides,

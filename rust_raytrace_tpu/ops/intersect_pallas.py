@@ -157,8 +157,29 @@ def nearest_hit_pallas(O, D, PK, page_size: int,
     return best_t, best_id.astype(jnp.int32)
 
 
+@jax.jit
+def fold_pages_origin(PK, origin):
+    """Fold a shared ray origin into the page plane/half-plane scalars.
+
+    With o fixed, t = (n.c - n.o)/(n.d) and dist_k = t (d.s'k) - (s'k.c -
+    s'k.o): the four o-dot terms become per-triangle constants.  Returns PK
+    with lanes NC/S0C/S1C/S2C adjusted so the kernel can run with
+    zero_origin=True and rays re-anchored at `origin`.
+    """
+    def fold(lane_c, lane_v):
+        adj = (PK[..., lane_v] * origin[0] + PK[..., lane_v + 1] * origin[1]
+               + PK[..., lane_v + 2] * origin[2])
+        return PK[..., lane_c] - adj
+
+    return PK.at[..., LANE_NC].set(fold(LANE_NC, LANE_N)) \
+             .at[..., LANE_S0C].set(fold(LANE_S0C, LANE_S0)) \
+             .at[..., LANE_S1C].set(fold(LANE_S1C, LANE_S1)) \
+             .at[..., LANE_S2C].set(fold(LANE_S2C, LANE_S2))
+
+
 def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
-                  S, pk_buf, sem, *, page_size: int):
+                  S, pk_buf, sem, *, page_size: int,
+                  zero_origin: bool = False, nbuf: int = 2):
     """Grid = (NC,): trace one ray chunk through ONLY its surviving pages.
 
     Streams pages front-to-back with double-buffered HBM->VMEM DMA, keeps the
@@ -190,14 +211,17 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
     S[0:1, :] = jnp.where(lane_valid, jnp.inf, -jnp.inf)     # ROW_T
     S[1:TRACE_ROWS, :] = jnp.zeros_like(S[1:TRACE_ROWS, :])  # ROW_ID.. = 0
 
+    NBUF = nbuf   # page DMA depth (2 = classic double buffering)
+
     def dma(slot, k):
         p = meta_ref[row, 1 + k]
         return pltpu.make_async_copy(pk_hbm.at[p], pk_buf.at[slot],
                                      sem.at[slot])
 
-    @pl.when(n > 0)
-    def _warmup():
-        dma(0, 0).start()
+    for w in range(NBUF - 1):
+        @pl.when(w < n)
+        def _warmup(w=w):
+            dma(w, w).start()
 
     def cond(carry):
         k, done = carry
@@ -205,11 +229,11 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
 
     def body(carry):
         k, _ = carry
-        slot = jax.lax.rem(k, 2)
+        slot = jax.lax.rem(k, NBUF)
 
-        @pl.when(k + 1 < n)
+        @pl.when(k + NBUF - 1 < n)
         def _prefetch():
-            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+            dma(jax.lax.rem(k + NBUF - 1, NBUF), k + NBUF - 1).start()
 
         dma(slot, k).wait()
         pk = pk_buf[slot]
@@ -221,13 +245,22 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
             return col(lane) * r0 + col(lane + 1) * r1 + col(lane + 2) * r2
 
         md_n = dot3(LANE_N, d0r, d1r, d2r)
-        t = (col(LANE_NC) - dot3(LANE_N, o0, o1, o2)) / md_n
-        dv0 = dot3(LANE_S0, o0, o1, o2) + t * dot3(LANE_S0, d0r, d1r, d2r) \
-            - col(LANE_S0C)
-        dv1 = dot3(LANE_S1, o0, o1, o2) + t * dot3(LANE_S1, d0r, d1r, d2r) \
-            - col(LANE_S1C)
-        dv2 = dot3(LANE_S2, o0, o1, o2) + t * dot3(LANE_S2, d0r, d1r, d2r) \
-            - col(LANE_S2C)
+        if zero_origin:
+            # Shared-origin fast path: the caller folded the o-dot terms into
+            # the page scalars (lanes NC/S*C adjusted by -feature.origin), so
+            # four of the eight per-pair 3-term dot products vanish.
+            t = col(LANE_NC) / md_n
+            dv0 = t * dot3(LANE_S0, d0r, d1r, d2r) - col(LANE_S0C)
+            dv1 = t * dot3(LANE_S1, d0r, d1r, d2r) - col(LANE_S1C)
+            dv2 = t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
+        else:
+            t = (col(LANE_NC) - dot3(LANE_N, o0, o1, o2)) / md_n
+            dv0 = dot3(LANE_S0, o0, o1, o2) \
+                + t * dot3(LANE_S0, d0r, d1r, d2r) - col(LANE_S0C)
+            dv1 = dot3(LANE_S1, o0, o1, o2) \
+                + t * dot3(LANE_S1, d0r, d1r, d2r) - col(LANE_S1C)
+            dv2 = dot3(LANE_S2, o0, o1, o2) \
+                + t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
 
         hit = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
         tt = jnp.where(hit, t, jnp.inf)
@@ -275,19 +308,23 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
 
     k_f, done_f = jax.lax.while_loop(cond, body, (jnp.int32(0), False))
 
-    # A prefetched DMA for page k_f may still be in flight on early exit.
-    @pl.when(done_f & (k_f < n))
-    def _drain():
-        dma(jax.lax.rem(k_f, 2), k_f).wait()
+    # Prefetched DMAs for pages k_f..k_f+NBUF-2 may still be in flight on
+    # early exit; drain them before the next grid step reuses the buffers.
+    for w in range(NBUF - 1):
+        @pl.when(done_f & (k_f + w < n))
+        def _drain(w=w):
+            dma(jax.lax.rem(k_f + w, NBUF), k_f + w).wait()
 
     out_ref[:] = S[:]
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
-                                             "interpret"))
+                                             "interpret", "zero_origin",
+                                             "nbuf"))
 def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
                         page_size: int, ray_chunk: int,
-                        interpret: bool = False):
+                        interpret: bool = False, zero_origin: bool = False,
+                        nbuf: int = 2):
     """Trace + winner-state extraction over per-chunk page lists, ON DEVICE.
 
     The production form on remote/tunneled TPUs: `counts`/`plist`/`ptmin` are
@@ -330,13 +367,14 @@ def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
         ],
         scratch_shapes=[
             pltpu.VMEM((TRACE_ROWS, RB), F32),
-            pltpu.VMEM((2, page_size, 128), F32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, page_size, 128), F32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_trace, page_size=page_size),
+        functools.partial(_kernel_trace, page_size=page_size,
+                          zero_origin=zero_origin, nbuf=nbuf),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,
