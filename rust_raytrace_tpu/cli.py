@@ -137,7 +137,7 @@ def cmd_tune(args):
     from .engine import Engine
 
     scene, vp = build_scene(args)
-    page_opts = [128, 256, 512]
+    page_opts = [32, 64, 128]
     chunk_opts = [512, 1024, 2048]
     runtimes = {}
 
@@ -178,7 +178,7 @@ def main(argv=None):
         sp.add_argument("--resolution", default="dev")
         sp.add_argument("--maxdepth", type=int, default=5)
         sp.add_argument("--spp", type=int, default=1)
-        sp.add_argument("--page-size", type=int, default=256)
+        sp.add_argument("--page-size", type=int, default=64)
         sp.add_argument("--ray-chunk", type=int, default=1024)
 
     sp = sub.add_parser("render", help="render a scene to PNG")
