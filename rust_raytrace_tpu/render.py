@@ -36,7 +36,7 @@ import numpy as np
 
 from . import math3d as m3
 from .camera import Viewport
-from .materials import KIND_MATTE, KIND_REFLECTIVE, KIND_SOLID
+from .materials import KIND_MATTE, KIND_REFLECTIVE
 from .ops.intersect_pallas import nearest_hit_pallas
 from .ops.intersect_xla import nearest_hit_xla
 from .ops.pages import PageTables, build_pages

@@ -1,11 +1,10 @@
-"""Auxiliary subsystems: progress stats, ray debug differ, CLI, worklist."""
+"""Auxiliary subsystems: progress stats, ray debug differ, CLI."""
 
 import io
 
 import numpy as np
 import pytest
 
-from rust_raytrace_tpu.ops.worklist import build_worklist, next_bucket
 from rust_raytrace_tpu.utils.progress import ProgressStat, create_ctx
 from rust_raytrace_tpu.utils.raydebug import DebugCtx
 
@@ -63,23 +62,6 @@ def test_debug_ctx_roundtrip_and_compare():
     diff = io.StringIO()
     a.compare_to(c, diff)
     assert "does not contain our hit" in diff.getvalue()
-
-
-def test_worklist_builder():
-    mask = np.zeros((5, 4), dtype=bool)
-    mask[0, [1, 3]] = True
-    mask[2, 0] = True
-    # chunks 1, 3, 4 empty -> forced page 0
-    c, p, f = build_worklist(mask, bucket_min=8)
-    assert len(c) == 8
-    real = [(0, 1, 1), (0, 3, 0), (1, 0, 1), (2, 0, 1), (3, 0, 1), (4, 0, 1)]
-    got = list(zip(c.tolist(), p.tolist(), f.tolist()))[:6]
-    assert got == real
-    # padding repeats the final item with flag 0
-    tail = list(zip(c.tolist(), p.tolist(), f.tolist()))[6:]
-    assert all(x == (4, 0, 0) for x in tail)
-    assert next_bucket(100, 64) == 128
-    assert next_bucket(64, 64) == 64
 
 
 def test_cli_render_oracle(tmp_path):
