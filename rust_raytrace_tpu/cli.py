@@ -42,6 +42,10 @@ def build_scene(args):
         w, h = res.split("x")
         res = (int(w), int(h))      # explicit WxH, e.g. --resolution 640x480
     kwargs = dict(resolution=res, maxdepth=args.maxdepth, samples=args.spp)
+    if getattr(args, "lights", False):
+        if args.scene != "teapot":
+            raise SystemExit("--lights is wired for the teapot scene")
+        kwargs["with_light"] = True
     return build(**kwargs)
 
 
@@ -180,6 +184,8 @@ def main(argv=None):
         sp.add_argument("--spp", type=int, default=1)
         sp.add_argument("--page-size", type=int, default=64)
         sp.add_argument("--ray-chunk", type=int, default=1024)
+        sp.add_argument("--lights", action="store_true",
+                        help="enable the shadow-ray light (teapot scene)")
 
     sp = sub.add_parser("render", help="render a scene to PNG")
     common(sp)

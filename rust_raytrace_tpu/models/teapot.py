@@ -32,8 +32,10 @@ F32 = np.float32
 #: Resolution presets from main.rs:96-110 (name -> (width, height)).
 RESOLUTIONS = {
     "dev": (64, 64),
+    "512": (512, 512),      # BASELINE config 2: naive 512x512
     "sd": (640, 480),
     "2k": (2560, 1440),
+    "square2k": (2048, 2048),
     "4k": (3840, 2160),
 }
 
@@ -50,7 +52,7 @@ def teapot_obj_path() -> str:
 
 
 def build(resolution="dev", maxdepth: int = 5, samples: int = 1,
-          obj_path: str | None = None):
+          obj_path: str | None = None, with_light: bool = False):
     if isinstance(resolution, str):
         width, height = RESOLUTIONS[resolution]
     else:
@@ -88,6 +90,13 @@ def build(resolution="dev", maxdepth: int = 5, samples: int = 1,
     )
 
     scene = assemble([teapot, disk1, disk2])
+    if with_light:
+        # Shadow-ray extension (BASELINE config 3); light placement is this
+        # repo's own — the reference's LightSource scaffold carries no scene
+        # values (raytrace.rs:595-598, unused).
+        from ..scene import LightSource
+        scene.lights = LightSource(
+            orig=np.asarray([-4.0, 8.0, 0.0], dtype=F32), len2=0.2)
     viewport = create_viewport(
         px=(width, height), size=(1.0, float(aspect)),
         pos=(2.0, 0.0, 0.0), dir=m3.unit(m3.vec(0.0, 0.0, 1.0)),
