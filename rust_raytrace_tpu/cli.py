@@ -49,11 +49,21 @@ def build_scene(args):
     return build(**kwargs)
 
 
+def _on_tpu() -> bool:
+    """True when computation will actually land on a TPU (honors an explicit
+    jax_default_device pin, e.g. tests/dev boxes forcing CPU)."""
+    import jax
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def make_renderer(name: str, scene, args):
     if name == "engine":
         from .engine import Engine
         return Engine(scene, page_size=args.page_size,
-                      ray_chunk=args.ray_chunk)
+                      ray_chunk=args.ray_chunk, interpret=not _on_tpu())
     if name in ("simple", "xla", "pallas", "pallas_interpret"):
         from .render import WavefrontRenderer
         backend = "auto" if name == "simple" else name

@@ -287,11 +287,17 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
             scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
             splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
             sptmin = jnp.take_along_axis(stmin, splist, axis=1)
+            # Any-other-occluder semantics (oracle.is_shadowed, the commented
+            # design at raytrace.rs:1204-1224): the origin triangle is
+            # excluded IN-KERNEL so a farther real occluder behind a backlit
+            # self-hit is still found.
+            sexcl = jnp.where(hit_mask, hid, 0.0)
             srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
                                         sptmin, page_size, rb_w,
-                                        interpret=interpret, nbuf=nbuf)
+                                        interpret=interpret, nbuf=nbuf,
+                                        excl=sexcl)
             sid = srows[ROW_ID:ROW_ID + 1]
-            shadowed = (hit_mask & (sid != 0.0) & (sid != hid))[0]
+            shadowed = (hit_mask & (sid != 0.0))[0]
 
         contrib, weight, alive, o, d = _shade_rows(rows, o_m, d_m, weight,
                                                    alive, rv, shadowed)

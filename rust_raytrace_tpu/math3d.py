@@ -77,14 +77,21 @@ def orthogonal(a, xp=np):
         if abs(float(az)) > 0.1:
             return unit(xp.stack([F32(1.0), F32(1.0), -(ax + ay) / az], axis=-1), xp)
         return orthogonal(unit(a, xp), xp)
-    # Branchless batched form (used by batched shading paths).
+    # Branchless batched form (used by batched shading paths).  Unselected
+    # candidates get a safe denominator so zero components can't produce
+    # inf/NaN temporaries (only the branch with |component| > 0.1 is kept).
     one = xp.ones_like(ax)
-    cand_x = xp.stack([-(ay + az) / ax, one, one], axis=-1)
-    cand_y = xp.stack([one, -(ax + az) / ay, one], axis=-1)
-    cand_z = xp.stack([one, one, -(ax + ay) / az], axis=-1)
-    use_x = (xp.abs(ax) > 0.1)[..., None]
-    use_y = (xp.abs(ay) > 0.1)[..., None]
-    out = xp.where(use_x, cand_x, xp.where(use_y, cand_y, cand_z))
+    use_x = xp.abs(ax) > 0.1
+    use_y = xp.abs(ay) > 0.1
+    use_z = xp.abs(az) > 0.1
+    sx = xp.where(use_x, ax, one)
+    sy = xp.where(use_y, ay, one)
+    sz = xp.where(use_z, az, one)
+    cand_x = xp.stack([-(ay + az) / sx, one, one], axis=-1)
+    cand_y = xp.stack([one, -(ax + az) / sy, one], axis=-1)
+    cand_z = xp.stack([one, one, -(ax + ay) / sz], axis=-1)
+    out = xp.where(use_x[..., None], cand_x,
+                   xp.where(use_y[..., None], cand_y, cand_z))
     return unit(out, xp)
 
 

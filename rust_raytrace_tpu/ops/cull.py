@@ -180,10 +180,21 @@ def cull_mask_exact(ot, dt, valid, blo, bhi, ray_chunk: int):
         tlo = jnp.full((NC, ray_chunk), -INF, F32)
         thi = jnp.full((NC, ray_chunk), INF, F32)
         for k in range(3):                            # unrolled axes
+            # d==0 axes: (lo-o)*inf is NaN when the origin sits exactly on
+            # the slab boundary; use the reference-consistent semantics
+            # instead (BoundingBox::collides ignores d==0 axes,
+            # raytrace.rs:861-907): interval [-inf, inf] when the origin is
+            # inside the slab, infeasible otherwise.
+            zero = d[k] == 0
+            inside = (o[k] >= lo[k]) & (o[k] <= hi[k])
             t1 = (lo[k] - o[k]) * inv[k]
             t2 = (hi[k] - o[k]) * inv[k]
-            tlo = jnp.maximum(tlo, jnp.minimum(t1, t2))
-            thi = jnp.minimum(thi, jnp.maximum(t1, t2))
+            alo = jnp.where(zero, jnp.where(inside, -INF, INF),
+                            jnp.minimum(t1, t2))
+            ahi = jnp.where(zero, jnp.where(inside, INF, -INF),
+                            jnp.maximum(t1, t2))
+            tlo = jnp.maximum(tlo, alo)
+            thi = jnp.minimum(thi, ahi)
         hit_ray = (tlo <= thi) & (thi >= 0) & v       # [NC, RB]
         hit = jnp.any(hit_ray, axis=-1)               # [NC]
         entry = jnp.where(hit_ray, jnp.maximum(tlo, 0.0), INF)
@@ -204,8 +215,10 @@ def ray_aabb_hits(o, d, blo, bhi):
     inv = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
     t1 = (blo[None] - o[:, None]) * inv[:, None]     # [R, NP, 3]
     t2 = (bhi[None] - o[:, None]) * inv[:, None]
-    tlo = jnp.minimum(t1, t2)
-    thi = jnp.maximum(t1, t2)
+    zero = (d == 0)[:, None, :]
+    inside = (o[:, None] >= blo[None]) & (o[:, None] <= bhi[None])
+    tlo = jnp.where(zero, jnp.where(inside, -INF, INF), jnp.minimum(t1, t2))
+    thi = jnp.where(zero, jnp.where(inside, INF, -INF), jnp.maximum(t1, t2))
     tmin = jnp.max(tlo, axis=-1)
     tmax = jnp.min(thi, axis=-1)
     return (tmin <= tmax) & (tmax >= 0)

@@ -177,9 +177,9 @@ def fold_pages_origin(PK, origin):
              .at[..., LANE_S2C].set(fold(LANE_S2C, LANE_S2))
 
 
-def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
-                  S, pk_buf, sem, *, page_size: int,
-                  zero_origin: bool = False, nbuf: int = 2):
+def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, *rest, page_size: int,
+                  zero_origin: bool = False, nbuf: int = 2,
+                  exclude_id: bool = False):
     """Grid = (NC,): trace one ray chunk through ONLY its surviving pages.
 
     Streams pages front-to-back with double-buffered HBM->VMEM DMA, keeps the
@@ -199,7 +199,16 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
     sublane (triangle) axis — this is why shading needs NO device gathers.
     Invalid lanes (zero direction) get best_t = -inf so they can never block
     the early exit.
+
+    With `exclude_id`, an extra [1, RB] input carries a per-lane triangle id
+    that can never win (the shadow-ray origin triangle: the occlusion query
+    tests "any OTHER triangle", oracle.is_shadowed / raytrace.rs:1204-1224).
+    Id 0 excludes nothing (padding rows never hit).
     """
+    if exclude_id:
+        excl_ref, pk_hbm, out_ref, S, pk_buf, sem = rest
+    else:
+        pk_hbm, out_ref, S, pk_buf, sem = rest
     P = page_size
     row = jax.lax.rem(pl.program_id(0), 8)
     n = meta_ref[row, 0]
@@ -263,6 +272,8 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
                 + t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
 
         hit = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
+        if exclude_id:
+            hit = hit & (col(LANE_ID) != excl_ref[0:1, :])
         tt = jnp.where(hit, t, jnp.inf)
 
         page_min = jnp.min(tt, axis=0, keepdims=True)        # [1, RB]
@@ -324,7 +335,7 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, pk_hbm, out_ref,
 def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
                         page_size: int, ray_chunk: int,
                         interpret: bool = False, zero_origin: bool = False,
-                        nbuf: int = 2):
+                        nbuf: int = 2, excl=None):
     """Trace + winner-state extraction over per-chunk page lists, ON DEVICE.
 
     The production form on remote/tunneled TPUs: `counts`/`plist`/`ptmin` are
@@ -336,6 +347,8 @@ def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
     lane-pad 42x on TPU and must never exist on device).  counts: [NC] int32.
     plist: [NC, NP] int32 — surviving pages first, front-to-back.
     ptmin: [NC, NP] f32 — conservative entry distance per listed page.
+    excl: optional [1, R] f32 — per-ray triangle id excluded from hitting
+    (shadow-ray self-exclusion; 0 = exclude nothing).
     Returns OUT [16, R] (rows ROW_*; see module constants).
     """
     RB = ray_chunk
@@ -349,18 +362,27 @@ def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
     meta = meta.at[:NC, 1:].set(plist.astype(jnp.int32))
     ptm = jnp.full((NC8, NP), jnp.inf, F32).at[:NC].set(ptmin.astype(F32))
 
+    exclude_id = excl is not None
+    in_specs = [
+        pl.BlockSpec((8, 1 + NP), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, NP), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [meta, ptm, OT.astype(F32), DT.astype(F32)]
+    if exclude_id:
+        in_specs.append(pl.BlockSpec((1, RB), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(excl.astype(F32))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # PK stays in HBM
+    args.append(PK)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(NC,),
-        in_specs=[
-            pl.BlockSpec((8, 1 + NP), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, NP), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # PK stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -374,10 +396,11 @@ def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
 
     out = pl.pallas_call(
         functools.partial(_kernel_trace, page_size=page_size,
-                          zero_origin=zero_origin, nbuf=nbuf),
+                          zero_origin=zero_origin, nbuf=nbuf,
+                          exclude_id=exclude_id),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,
-    )(meta, ptm, OT.astype(F32), DT.astype(F32), PK)[0]
+    )(*args)[0]
 
     return out

@@ -238,7 +238,9 @@ def render(tris: TriangleArrays, v: Viewport, rng=None,
                 if v.samples_per_pixel == 1:
                     jitter = None
                 else:
-                    jitter = (np.random.random(), np.random.random())
+                    # drawn from the injected rng so multi-sample renders are
+                    # reproducible (bit-determinism contract of this module)
+                    jitter = (float(rng.uniform(())), float(rng.uniform(())))
                 o, d = pixel_rays(v, np.asarray(row), np.asarray(col), jitter)
                 if debug_ctx is not None:
                     debug_ctx.register_ray(o, (row, col))

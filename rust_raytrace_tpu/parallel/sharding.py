@@ -66,7 +66,11 @@ def trace_rays_sharded(st: SceneTensors, o, d, key, mesh: Mesh,
         out_specs=(P(TILE_AXIS), P()),
     )
     def step(st_rep, o_sh, d_sh, key_rep):
-        colors, aux = trace_rays(st_rep, o_sh, d_sh, key_rep,
+        # Decorrelate per-chip RNG streams: a replicated key would give every
+        # chip the identical scatter-jitter sequence for its local ray
+        # indices (visible as noise patterns repeating across image tiles).
+        key_sh = jax.random.fold_in(key_rep, jax.lax.axis_index(TILE_AXIS))
+        colors, aux = trace_rays(st_rep, o_sh, d_sh, key_sh,
                                  maxdepth=maxdepth, backend=backend,
                                  ray_chunk=ray_chunk, fixed_rng=fixed_rng)
         # Collective: global per-wave ray counts over ICI (progress stats).
@@ -110,8 +114,9 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
         check_vma=False,
     )
     def step(st, lo, hi, o_sh, d_sh, alive_sh, key_rep):
+        key_sh = jax.random.fold_in(key_rep, jax.lax.axis_index(TILE_AXIS))
         img, wave_counts, _ = _render_device(
-            st, lo, hi, o_sh, d_sh, alive_sh, key_rep,
+            st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
             maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
             page_size=engine.page_size, fixed_rng=False,
             interpret=interpret, want_primary=False, quantize=True, spp=1,

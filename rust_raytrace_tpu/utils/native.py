@@ -8,6 +8,7 @@ and RUST_RAYTRACE_NO_NATIVE=1 disables it (tests exercise both paths).
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -19,20 +20,32 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native", "scene_pipeline.cc")
-_SO = os.path.join(os.path.dirname(_SRC), "libscene.so")
+
+
+def _so_path() -> Optional[str]:
+    """Shared-library path keyed by source CONTENT hash.
+
+    The binary is never committed (a -march=native build from another machine
+    could SIGILL or silently mismatch the numpy path); a source edit changes
+    the hash, forcing a rebuild — mtimes are not trusted (git does not
+    preserve them).
+    """
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(_SRC), f"libscene-{h}.so")
 
 F32P = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
 
-def _build() -> bool:
-    if not os.path.exists(_SRC):
-        return False
+def _build(so: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
-             "-fPIC", _SRC, "-o", _SO],
+             "-fPIC", _SRC, "-o", so],
             check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -46,12 +59,13 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("RUST_RAYTRACE_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                   os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        if not _build():
-            return None
+    so = _so_path()
+    if so is None:
+        return None
+    if not os.path.exists(so) and not _build(so):
+        return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
         return None
 

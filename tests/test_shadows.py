@@ -58,3 +58,36 @@ def test_engine_matches_oracle_with_shadows(shadow_scene, vp):
     res = eng.render(vp, fixed_rng=True, quantize=False)
     diff = np.abs(res.image - img_o).max(axis=-1)
     assert (diff > 1 / 255).mean() < 0.01
+
+
+@pytest.fixture(scope="module")
+def backlit_scene():
+    """Backlit self-hit regression: the light is BELOW the floor, so a shadow
+    ray from a front (top) hit crosses the floor's own plane at tiny t — its
+    NEAREST intersection is the origin triangle itself.  A real occluder
+    farther along (between floor and light) must still shadow the pixel:
+    any-OTHER-occluder semantics (oracle.is_shadowed; the commented design at
+    raytrace.rs:1204-1224) require excluding the origin triangle by id, not
+    just taking the nearest hit."""
+    floor = make_triangles(
+        np.asarray([[[-10, -2, -5], [10, -2, -5], [0, -2, 25]]], dtype=F32),
+        solid(m3.make_color((200, 200, 200))), 0.0)
+    occ = make_triangles(
+        np.asarray([[[-8, -6, -2], [8, -6, -2], [0, -6, 20]]], dtype=F32),
+        solid(m3.make_color((250, 50, 50))), 0.0)
+    scene = assemble([floor, occ])
+    scene.lights = LightSource(orig=np.asarray([0.0, -20.0, 6.0], dtype=F32),
+                               len2=0.0)
+    return scene
+
+
+def test_backlit_self_hit_still_finds_occluder(backlit_scene, vp):
+    img_o = oracle.render(backlit_scene.tris, vp, rng=oracle.FixedRng(),
+                          lights=backlit_scene.lights)
+    eng = Engine(backlit_scene, page_size=64, ray_chunk=256, interpret=True)
+    res = eng.render(vp, fixed_rng=True, quantize=False)
+    # the oracle shadows the floor through the self-hit; the engine must too
+    floor_shadowed_o = (img_o.max(axis=-1) < 1e-6)
+    assert floor_shadowed_o.any()
+    diff = np.abs(res.image - img_o).max(axis=-1)
+    assert (diff > 1 / 255).mean() < 0.01
