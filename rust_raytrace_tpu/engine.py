@@ -44,6 +44,10 @@ from . import math3d as m3
 from .camera import Viewport
 from .ops.cull import (chunk_bounds, chunk_bounds_octants, cull_mask_exact,
                        cull_mask_tmin, cull_mask_tmin_octants)
+from .ops.cull_pallas import cull_mask_exact_pallas
+from .ops.compact import (DEFAULT_CB, ROW_ACC, ROW_ALIVE, ROW_DEAD, ROW_W,
+                          STATE_ROWS, compact_meta, compact_pallas,
+                          expand_pallas, make_dead_array)
 from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
                                    ROW_NORM, ROW_SCAT, ROW_T,
                                    fold_pages_origin, trace_chunks_pallas)
@@ -221,9 +225,12 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
         d_m = jnp.where(alive[None, :], d, 0.0)
 
         if exact_cull:
-            # exact per-ray slab tests, chunk-reduced (tightest page lists)
-            mask, tmin = cull_mask_exact(o_m, d_m, alive, aabb_lo, aabb_hi,
-                                         rb_w)
+            # exact per-ray slab tests, chunk-reduced (tightest page lists);
+            # one Pallas kernel — the lax.map XLA form costs ~37 ms/wave in
+            # map scheduling alone (ops/cull_pallas.py)
+            mask, tmin = cull_mask_exact_pallas(o_m, d_m, alive, aabb_lo,
+                                                aabb_hi, rb_w,
+                                                interpret=interpret)
         elif wave == 0:
             # primary chunks are coherent tiles: one bound suffices
             olo, ohi, dlo, dhi = chunk_bounds(o_m, d_m, alive, rb_w)
@@ -318,6 +325,189 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
     return img, jnp.stack(wave_counts), primary
 
 
+def _quantize_u8(img):
+    """PNG writer's exact `(c*255) as u8` semantics (raytrace.rs:1470-1472)."""
+    x = jnp.nan_to_num(img * F32(255.0), nan=0.0, posinf=255.0, neginf=0.0)
+    return jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(jnp.uint8)
+
+
+def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
+                 key, wave, fixed_rng, light_orig, light_len2, page_size,
+                 ray_chunk, interpret, nbuf):
+    """Shadow-ray pass (commented reference design, raytrace.rs:600-610,
+    1203-1224): jittered ray to the light from each hit; shadowed if any
+    OTHER triangle intersects it (origin triangle excluded in-kernel)."""
+    R = o_m.shape[1]
+    hid = rows[ROW_ID:ROW_ID + 1]
+    hit_mask = alive[None, :] & (hid != 0.0)
+    t_row = rows[ROW_T:ROW_T + 1]
+    point = o_m + jnp.where(hit_mask, t_row, 0.0) * d_m
+    nrm = rows[ROW_NORM:ROW_NORM + 3]
+    back = rows[ROW_ENC:ROW_ENC + 1] >= 8.0
+    norm_f = jnp.where(back, -nrm, nrm)
+    skey = jax.random.fold_in(key, 7_000_000 + wave)
+    if fixed_rng:
+        u3 = jnp.full((3, R), 0.5, F32)
+        u1 = jnp.full((1, R), 0.5, F32)
+    else:
+        u3 = jax.random.uniform(jax.random.fold_in(skey, 0), (3, R),
+                                dtype=F32)
+        u1 = jax.random.uniform(jax.random.fold_in(skey, 1), (1, R),
+                                dtype=F32)
+    adj = light_orig[:, None] + u3 * light_len2
+    sd = _unit_rows(adj - point)
+    so = point + norm_f * (F32(0.005) * (u1 + F32(1.0)))
+    so_m = jnp.where(hit_mask, so, 0.0)
+    sd_m = jnp.where(hit_mask, sd, 0.0)
+    smask, stmin = cull_mask_exact_pallas(so_m, sd_m, hit_mask[0], aabb_lo,
+                                          aabb_hi, ray_chunk,
+                                          interpret=interpret)
+    scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
+    splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
+    sptmin = jnp.take_along_axis(stmin, splist, axis=1)
+    sexcl = jnp.where(hit_mask, hid, 0.0)
+    srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
+                                sptmin, page_size, ray_chunk,
+                                interpret=interpret, nbuf=nbuf, excl=sexcl)
+    sid = srows[ROW_ID:ROW_ID + 1]
+    return (hit_mask & (sid != 0.0))[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("maxdepth", "ray_chunk", "page_size",
+                                    "fixed_rng", "interpret", "want_primary",
+                                    "quantize", "has_lights", "weight_cutoff",
+                                    "nbuf", "cb"))
+def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
+                           key, maxdepth: int, ray_chunk: int,
+                           page_size: int, fixed_rng: bool, interpret: bool,
+                           want_primary: bool, quantize: bool,
+                           has_lights: bool = False, light_orig=None,
+                           light_len2=None, weight_cutoff: float = 0.0,
+                           pk0=None, nbuf: int = 2, cb: int = DEFAULT_CB):
+    """Compacted multi-wave render (spp == 1): the production path.
+
+    The reference workqueue retires finished rays and requeues survivors to
+    keep cycles full (cuda_raytrace.rs:346-366, 444-456); here each wave's
+    survivors are permuted to a prefix of the state array (ops/compact.py),
+    so bounce waves run on a few hundred dense chunks instead of thousands of
+    sparse ones — both the cull and the trace skip the dead tail entirely.
+    Retired rays' accumulated colors are harvested to a dead array and the
+    final image is reassembled by reversing the per-wave permutations on
+    device (no ray-scale gathers, no host bookkeeping).
+
+    Returns (img [3, R] u8/f32 in ORIGINAL tile order, wave_counts, primary).
+    """
+    R = o.shape[1]
+    RB = ray_chunk
+    NC = R // RB
+
+    state = jnp.zeros((STATE_ROWS, R), dtype=F32)
+    state = state.at[0:3].set(o).at[3:6].set(d)
+    state = state.at[ROW_W].set(jnp.where(alive0, F32(1.0), F32(0.0)))
+    state = state.at[ROW_ALIVE].set(alive0.astype(F32))
+
+    dead_arr = make_dead_array(R)
+    dead_base = jnp.int32(0)
+    chunk_live = jnp.ones((NC,), jnp.int32)
+
+    wave_counts = []
+    primary = None
+    metas, masks_list, oflows = [], [], []
+
+    for wave in range(maxdepth):
+        o_w = state[0:3]
+        d_w = state[3:6]
+        alive = state[ROW_ALIVE] != 0.0
+        wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
+
+        mask, tmin = cull_mask_exact_pallas(o_w, d_w, alive, aabb_lo,
+                                            aabb_hi, RB,
+                                            chunk_live=chunk_live,
+                                            interpret=interpret)
+        counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+        plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
+        ptmin = jnp.take_along_axis(tmin, plist, axis=1)
+
+        if wave == 0 and pk0 is not None:
+            rows = trace_chunks_pallas(o_w, d_w, pk0, counts, plist, ptmin,
+                                       page_size, RB, interpret=interpret,
+                                       zero_origin=True, nbuf=nbuf)
+        else:
+            rows = trace_chunks_pallas(o_w, d_w, st.PK, counts, plist, ptmin,
+                                       page_size, RB, interpret=interpret,
+                                       nbuf=nbuf)
+        if wave == 0 and want_primary:
+            primary = rows[ROW_T:ROW_ID + 1]
+
+        if fixed_rng:
+            rv = jnp.broadcast_to(
+                _unit(jnp.asarray([0.36, 0.48, 0.8], dtype=F32))[:, None],
+                (3, R))
+        else:
+            rv = _random_unit_rows(jax.random.fold_in(key, wave), R)
+
+        shadowed = None
+        if has_lights:
+            shadowed = _shadow_mask(st, aabb_lo, aabb_hi, o_w, d_w, alive,
+                                    rows, key, wave, fixed_rng, light_orig,
+                                    light_len2, page_size, RB, interpret,
+                                    nbuf)
+
+        contrib, weight, alive2, o2, d2 = _shade_rows(
+            rows, o_w, d_w, state[ROW_W], alive, rv, shadowed)
+        if weight_cutoff > 0.0:
+            alive2 = alive2 & (weight > weight_cutoff)
+        died = alive & ~alive2
+        state = (state.at[0:3].set(o2).at[3:6].set(d2)
+                 .at[ROW_W].set(weight)
+                 .at[ROW_ALIVE].set(alive2.astype(F32))
+                 .at[ROW_ACC:ROW_ACC + 3].add(contrib)
+                 .at[ROW_DEAD].set(jnp.maximum(state[ROW_DEAD],
+                                               died.astype(F32))))
+
+        if wave < maxdepth - 1:
+            meta, total_a, overflow, dead_end = compact_meta(
+                state[ROW_ALIVE], state[ROW_DEAD], cb, dead_base, R)
+            masks2 = jnp.stack([state[ROW_ALIVE], state[ROW_DEAD]])
+
+            def _do(state=state, dead_arr=dead_arr, meta=meta):
+                return compact_pallas(state, dead_arr, meta, cb=cb,
+                                      interpret=interpret)
+
+            def _skip(state=state, dead_arr=dead_arr, meta=meta):
+                return state, dead_arr
+
+            state, dead_arr = jax.lax.cond(overflow, _skip, _do)
+            dead_base = jnp.where(overflow, dead_base, dead_end)
+            live_nc = jnp.where(
+                overflow, NC,
+                jnp.minimum((total_a + RB - 1) // RB, NC)).astype(jnp.int32)
+            chunk_live = (jnp.arange(NC, dtype=jnp.int32)
+                          < live_nc).astype(jnp.int32)
+            metas.append(meta)
+            masks_list.append(masks2)
+            oflows.append(overflow)
+
+    # Reassemble: walk the permutations backward so accum lands back in
+    # original tile order (rows 0..2 of the 8-row payload = accum).
+    y = state[ROW_ACC:ROW_ACC + 8]
+    for w in range(maxdepth - 2, -1, -1):
+        def _exp(y=y, w=w):
+            return expand_pallas(y, dead_arr, masks_list[w], metas[w], cb=cb,
+                                 interpret=interpret)
+
+        def _id(y=y, w=w):
+            return y
+
+        y = jax.lax.cond(oflows[w], _id, _exp)
+
+    img = y[0:3]
+    if quantize:
+        img = _quantize_u8(img)
+    return img, jnp.stack(wave_counts), primary
+
+
 
 
 
@@ -333,8 +523,9 @@ class Engine(RayCaster):
                  ray_chunk: int = 1024, interpret: bool = False,
                  pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
                  bounce_chunk: int = 0, nbuf: int = 4,
-                 exact_cull: bool = True):
+                 exact_cull: bool = True, compact: bool = True):
         self.exact_cull = exact_cull
+        self.compact = compact
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
         self.bounce_chunk = bounce_chunk
@@ -400,19 +591,35 @@ class Engine(RayCaster):
         alive0 = jnp.arange(R) < R0
 
         lights = self.scene.lights
-        img_dev, wave_counts, primary = _render_device(
-            self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
-            maxdepth=v.maxdepth, ray_chunk=RB, page_size=self.page_size,
-            fixed_rng=fixed_rng, interpret=self.interpret,
-            want_primary=debug, quantize=quant, spp=spp,
-            has_lights=lights is not None,
-            light_orig=(jnp.asarray(lights.orig, dtype=F32)
-                        if lights is not None else None),
-            light_len2=(jnp.asarray(lights.len2, dtype=F32)
-                        if lights is not None else None),
-            weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
-            bounce_chunk=self.bounce_chunk, pk0=pk0, nbuf=self.nbuf,
-            exact_cull=self.exact_cull)
+        use_compact = (self.compact and spp == 1 and not self.bounce_chunk
+                       and self.exact_cull)
+        if use_compact:
+            img_dev, wave_counts, primary = _render_device_compact(
+                self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
+                maxdepth=v.maxdepth, ray_chunk=RB, page_size=self.page_size,
+                fixed_rng=fixed_rng, interpret=self.interpret,
+                want_primary=debug, quantize=quant,
+                has_lights=lights is not None,
+                light_orig=(jnp.asarray(lights.orig, dtype=F32)
+                            if lights is not None else None),
+                light_len2=(jnp.asarray(lights.len2, dtype=F32)
+                            if lights is not None else None),
+                weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
+                pk0=pk0, nbuf=self.nbuf)
+        else:
+            img_dev, wave_counts, primary = _render_device(
+                self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
+                maxdepth=v.maxdepth, ray_chunk=RB, page_size=self.page_size,
+                fixed_rng=fixed_rng, interpret=self.interpret,
+                want_primary=debug, quantize=quant, spp=spp,
+                has_lights=lights is not None,
+                light_orig=(jnp.asarray(lights.orig, dtype=F32)
+                            if lights is not None else None),
+                light_len2=(jnp.asarray(lights.len2, dtype=F32)
+                            if lights is not None else None),
+                weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
+                bounce_chunk=self.bounce_chunk, pk0=pk0, nbuf=self.nbuf,
+                exact_cull=self.exact_cull)
 
         # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
         # 1000x slower on this platform).

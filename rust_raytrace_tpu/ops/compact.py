@@ -1,0 +1,460 @@
+"""Wavefront compaction — the TPU-native form of the reference's requeue.
+
+The reference GPU workqueue retires finished rays each cycle and refills the
+next cycle to capacity from the queue (`nextcycle`, cuda_raytrace.rs:444-456;
+refill to 512 at :346-366).  On TPU, classic stream compaction is blocked by
+the platform's gather/scatter costs (0.4-75 s at ray scale — docs/PERF.md), so
+compaction is expressed as a PERMUTATION built from primitives that do lower
+well:
+
+  - per-chunk survivor ranks via a one-hot lower-triangular MXU matmul
+    (0/1 values: exact in bf16 with f32 accumulation);
+  - the permutation applied as a BYTE-SPLIT one-hot matmul: each f32 state
+    value is bitcast to u32 and split into four 0..255 byte planes (exact in
+    bf16), multiplied against the one-hot permutation matrix on the MXU
+    (single nonzero term per output -> exact), and the bytes reassembled
+    with integer ops — f32 bits move untouched, so compaction is bit-exact.
+    (A same-shape `take_along_axis` lane gather would be simpler, but Mosaic
+    only lowers tpu.dynamic_gather when the gathered dimension fits ONE
+    vreg — 128 lanes — "Multiple source vregs along gather dimension";
+    measured on-chip this round.);
+  - compacted chunk prefixes DMA'd to 128-aligned global offsets (survivor
+    segments are contiguous: offsets are a cumsum of 128-padded counts).
+
+State layout [16, R] f32 (rays on lanes; [R, 16] would lane-pad 42x):
+
+  rows 0..2   o      ray origin     (the trace kernel reads blocks
+  rows 3..5   d      ray direction   (0,i) and (1,i) of this array)
+  row  6      weight path throughput weight
+  row  7      alive  1.0 while the ray scatters on
+  rows 8..10  accum  accumulated pixel color (carried WITH the ray)
+  row  11     dead   1.0 once retired, until harvested (cumulative, so a
+                     skipped compaction wave cannot lose a retired ray)
+  rows 12..15 spare
+
+Each wave's compaction writes survivors to a prefix of a fresh [16, R] array
+(zeros elsewhere — gap lanes have o=d=0, alive=dead=0) and harvests retired
+rays (their accum rides rows 8..10) into a growing DEAD array [16, RD].
+Because rays move, the final image is reassembled by running the permutations
+BACKWARD (`expand_pallas`): for each wave, reverse-order, every original lane
+re-reads its value from the compacted position (alive) or the dead array
+(retired) — per-chunk DMA reads at the recorded offsets plus the same
+rank-gather, ~the cost of the forward pass, leaving the image in original
+tile order with no host-side bookkeeping and no ray-scale gathers ever.
+
+Safety: if a wave's survivors + alignment padding exceed R (only possible
+when >~87% of rays survive), the caller skips that wave's compaction
+(identity); the cumulative `dead` row guarantees no retired ray is lost.
+The dead array is sized 2R: total genuine retirements are <= R (each ray
+retires once) and per-wave alignment slack is bounded by 127 lanes/chunk.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+#: state rows
+ROW_O = 0
+ROW_D = 3
+ROW_W = 6
+ROW_ALIVE = 7
+ROW_ACC = 8
+ROW_DEAD = 11
+STATE_ROWS = 16
+
+#: compaction chunk (independent of the trace ray_chunk; 512 keeps the
+#: [CB, CB] one-hot matrices at 512 KB bf16 and the M-build cost ~R*CB ops)
+DEFAULT_CB = 512
+ALIGN = 128
+
+#: meta columns (int32)
+M_CNT_A, M_CASE_A, M_OFF_A, M_CNT_D, M_CASE_D, M_OFF_D = range(6)
+META_COLS = 8
+
+
+def dead_capacity(R: int) -> int:
+    """Static dead-array lane capacity (see module docstring)."""
+    return 2 * R
+
+
+def make_dead_array(R: int):
+    """Dead-ray harvest buffer: 8-row payload (state rows 8..15 — accum,
+    dead flag, spares; the origin/direction of a retired ray are never
+    needed again)."""
+    return jnp.zeros((8, dead_capacity(R)), dtype=F32)
+
+
+def compact_meta(alive, dead, cb: int, dead_base, R: int):
+    """XLA-side per-chunk counts/offsets.  alive/dead: [R] bool-ish.
+
+    Returns (meta [NC, META_COLS] int32, total_a, overflow, dead_end).
+    total_a = lanes occupied by the survivor prefix (128-aligned per chunk);
+    overflow = total_a > R (caller must then skip compaction this wave);
+    dead_end = dead_base + this wave's padded dead lanes.
+    """
+    NC = R // cb
+    cnt_a = jnp.sum(alive.reshape(NC, cb) != 0, axis=1, dtype=jnp.int32)
+    cnt_d = jnp.sum(dead.reshape(NC, cb) != 0, axis=1, dtype=jnp.int32)
+    pad_a = ((cnt_a + (ALIGN - 1)) // ALIGN) * ALIGN
+    pad_d = ((cnt_d + (ALIGN - 1)) // ALIGN) * ALIGN
+    cs_a = jnp.cumsum(pad_a)
+    cs_d = jnp.cumsum(pad_d)
+    off_a = cs_a - pad_a
+    off_d = dead_base.astype(jnp.int32) + cs_d - pad_d
+    total_a = cs_a[-1]
+    dead_end = dead_base.astype(jnp.int32) + cs_d[-1]
+    overflow = total_a > R
+    meta = jnp.stack([cnt_a, pad_a // ALIGN, off_a,
+                      cnt_d, pad_d // ALIGN, off_d,
+                      jnp.zeros_like(cnt_a), jnp.zeros_like(cnt_a)], axis=1)
+    return meta, total_a, overflow, dead_end
+
+
+def _ranks(alive_f, dead_f, cb: int):
+    """Exclusive prefix counts of alive/dead along lanes via a one-hot
+    lower-triangular matmul (exact: bf16 0/1 products, f32 accumulation).
+    alive_f/dead_f: [1, CB] f32 0/1.  Returns (rank_a, rank_d): [1, CB] f32.
+    """
+    sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 1)
+    klt = (lane < sub).astype(BF16)                   # KLT[out, contract]
+    masks = jnp.concatenate([alive_f, dead_f], axis=0).astype(BF16)  # [2, CB]
+    ranks = jax.lax.dot_general(
+        masks, klt, (((1,), (1,)), ((), ())),
+        preferred_element_type=F32)                   # [2, CB]
+    return ranks[0:1], ranks[1:2]
+
+
+def _onehot(rank, mask_f, cb: int):
+    """Permutation matrix M[dst(sublane), src(lane)] = 1 iff mask[src] and
+    rank[src] == dst.  Rows dst >= count are all-zero (pad lanes read 0)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
+    return ((sub == jnp.broadcast_to(rank.astype(jnp.int32), (cb, cb)))
+            & (jnp.broadcast_to(mask_f, (cb, cb)) != 0.0)).astype(BF16)
+
+
+def _to_bytes(vals):
+    """f32 [rows, CB] -> bf16 byte planes [4*rows, CB] (each value 0..255,
+    exact in bf16)."""
+    u = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    planes = [jnp.right_shift(u, jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+              for k in range(4)]
+    # Mosaic has no direct uint32->bf16 cast; hop through int32/f32 (values
+    # are 0..255, every step exact).
+    return jnp.concatenate(
+        [p.astype(jnp.int32).astype(F32).astype(BF16) for p in planes],
+        axis=0)
+
+
+def _from_bytes(parts, rows: int):
+    """Inverse of _to_bytes after the one-hot matmul: parts f32 [4*rows, CB]
+    holding exact integers 0..255 -> f32 [rows, CB] with the original bits."""
+    u = parts.astype(jnp.int32).astype(jnp.uint32)
+    out = u[0:rows]
+    for k in range(1, 4):
+        out = out | jnp.left_shift(u[k * rows:(k + 1) * rows],
+                                   jnp.uint32(8 * k))
+    return jax.lax.bitcast_convert_type(out, F32)
+
+
+def _permute(vals, onehot, compacting: bool):
+    """Apply the one-hot permutation to f32 payload rows, bit-exactly.
+
+    compacting=True:  out[r, dst] = vals[r, src(dst)]   (vals @ M^T)
+    compacting=False: out[r, src] = vals[r, dst(src)]   (vals @ M)
+    Every output element has at most ONE nonzero product (one-hot), each
+    product is byte * 0/1 (exact in bf16), so the f32 bits round-trip.
+    """
+    rows = vals.shape[0]
+    vb = _to_bytes(vals)                              # [4*rows, CB] bf16
+    dims = (((1,), (1,)), ((), ())) if compacting else (((1,), (0,)), ((), ()))
+    parts = jax.lax.dot_general(vb, onehot, dims,
+                                preferred_element_type=F32)
+    return _from_bytes(parts, rows)
+
+
+# Dynamic-offset DMA uses tile-granular 3-D views [rows, NT, 128]: Mosaic
+# rejects a dynamic LANE-offset slice of a 2-D [16, R] memref, but accepts a
+# dynamic slice of the middle (tile) dimension with the 128-lane minor dim
+# kept whole (measured on-chip this round, scripts/probe_dma.py).
+
+def _tiles(ref2d, val2d, n: int):
+    """Copy n 128-lane tiles of a [rows, CB] value into a [rows, CBT, 128]
+    scratch ref (static vector moves)."""
+    for t in range(n):
+        ref2d[:, t, :] = val2d[:, t * ALIGN:(t + 1) * ALIGN]
+
+
+def _untile(ref3d, n: int):
+    """[rows, CBT, 128] scratch -> [rows, n*128] value."""
+    return jnp.concatenate([ref3d[:, t, :] for t in range(n)], axis=1)
+
+
+def _seg_write(src_ref, dst3, off, case, sem, max_case: int):
+    """DMA src_ref[:, :case, :] -> dst3[:, off/128 : off/128+case, :]."""
+    off_t = off // ALIGN
+    for k in range(1, max_case + 1):
+        @pl.when(case == k)
+        def _(k=k):
+            cp = pltpu.make_async_copy(
+                src_ref.at[:, 0:k, :],
+                dst3.at[:, pl.ds(off_t, k), :], sem)
+            cp.start()
+            cp.wait()
+
+
+def _seg_read(src3, off, case, dst_ref, sem, max_case: int):
+    """DMA src3[:, off/128 : off/128+case, :] -> dst_ref[:, :case, :]."""
+    off_t = off // ALIGN
+    for k in range(1, max_case + 1):
+        @pl.when(case == k)
+        def _(k=k):
+            cp = pltpu.make_async_copy(
+                src3.at[:, pl.ds(off_t, k), :],
+                dst_ref.at[:, 0:k, :], sem)
+            cp.start()
+            cp.wait()
+
+
+def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
+                    ca, cd, sem_a, sem_d, *, cb: int):
+    """Forward pass, grid (NC,): compact chunk i's survivors to the global
+    survivor prefix and harvest its retired rays into the dead array.
+    zeros_in/dead_in are the aliased input views of the two outputs."""
+    del zeros_in, dead_in
+    row = jax.lax.rem(pl.program_id(0), 8)
+    cnt_a = meta_ref[row, M_CNT_A]
+    case_a = meta_ref[row, M_CASE_A]
+    off_a = meta_ref[row, M_OFF_A]
+    cnt_d = meta_ref[row, M_CNT_D]
+    case_d = meta_ref[row, M_CASE_D]
+    off_d = meta_ref[row, M_OFF_D]
+
+    @pl.when(cnt_a + cnt_d > 0)
+    def _busy():
+        st = st_ref[:]                                   # [16, CB]
+        alive_f = (st[ROW_ALIVE:ROW_ALIVE + 1, :] != 0.0).astype(F32)
+        dead_f = (st[ROW_DEAD:ROW_DEAD + 1, :] != 0.0).astype(F32)
+        rank_a, rank_d = _ranks(alive_f, dead_f, cb)
+
+        @pl.when(cnt_a > 0)
+        def _alive():
+            # dst lanes >= cnt_a get zeros (all-zero one-hot rows)
+            _tiles(ca, _permute(st, _onehot(rank_a, alive_f, cb),
+                                compacting=True), cb // ALIGN)
+            _seg_write(ca, out_hbm, off_a, case_a, sem_a, cb // ALIGN)
+
+        @pl.when(cnt_d > 0)
+        def _dead():
+            # the dead array keeps only the 8-row payload (rows 8..15)
+            _tiles(cd, _permute(st[ROW_ACC:ROW_ACC + 8],
+                                _onehot(rank_d, dead_f, cb),
+                                compacting=True), cb // ALIGN)
+            _seg_write(cd, dead_hbm, off_d, case_d, sem_d, cb // ALIGN)
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
+                   interpret: bool = False):
+    """Apply one wave's compaction.  state: [16, R]; dead_arr: [8, RD]
+    (threaded through waves, donated); meta from compact_meta.
+    Returns (new_state [16, R] — survivor prefix + zero gaps, new dead_arr).
+    """
+    R = state.shape[1]
+    RD = dead_arr.shape[1]
+    NC = R // cb
+    CBT = cb // ALIGN
+    NC8 = -(-NC // 8) * 8
+    meta8 = jnp.zeros((NC8, META_COLS), jnp.int32).at[:NC].set(meta)
+
+    zeros3 = jnp.zeros((STATE_ROWS, R // ALIGN, ALIGN), F32)
+    dead3 = dead_arr.reshape(8, RD // ALIGN, ALIGN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, META_COLS), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, cb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # zeros -> aliased out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dead  -> aliased out
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((STATE_ROWS, CBT, ALIGN), F32),
+            pltpu.VMEM((8, CBT, ALIGN), F32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    new_state3, new_dead3 = pl.pallas_call(
+        functools.partial(_kernel_compact, cb=cb),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(zeros3.shape, F32),
+            jax.ShapeDtypeStruct(dead3.shape, F32),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )(meta8, state, zeros3, dead3)
+    return (new_state3.reshape(STATE_ROWS, R),
+            new_dead3.reshape(8, RD))
+
+
+def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
+                   sem_a, sem_d, *, cb: int):
+    """Inverse pass, grid (NC,): original lane i of this chunk re-reads its
+    8-row payload from the compacted survivor prefix (alive) or the dead
+    array (retired); gap lanes get zeros."""
+    row = jax.lax.rem(pl.program_id(0), 8)
+    cnt_a = meta_ref[row, M_CNT_A]
+    case_a = meta_ref[row, M_CASE_A]
+    off_a = meta_ref[row, M_OFF_A]
+    cnt_d = meta_ref[row, M_CNT_D]
+    case_d = meta_ref[row, M_CASE_D]
+    off_d = meta_ref[row, M_OFF_D]
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(cnt_a + cnt_d > 0)
+    def _busy():
+        alive_f = (masks_ref[0:1, :] != 0.0).astype(F32)
+        dead_f = (masks_ref[1:2, :] != 0.0).astype(F32)
+        rank_a, rank_d = _ranks(alive_f, dead_f, cb)
+
+        @pl.when(cnt_a > 0)
+        def _ra():
+            _seg_read(y_hbm, off_a, case_a, sa, sem_a, cb // ALIGN)
+
+        @pl.when(cnt_d > 0)
+        def _rd():
+            _seg_read(dead_hbm, off_d, case_d, sd, sem_d, cb // ALIGN)
+
+        # Expansion = the transposed permutation.  Scratch lanes beyond the
+        # segment (uninitialized garbage) only ever multiply all-zero one-hot
+        # rows — and since the multiply happens in the integer byte domain,
+        # garbage NaN/Inf bit patterns cannot leak (0 * byte == 0 exactly).
+        ntile = cb // ALIGN
+        ga = _permute(_untile(sa, ntile), _onehot(rank_a, alive_f, cb),
+                      compacting=False)
+        gd = _permute(_untile(sd, ntile), _onehot(rank_d, dead_f, cb),
+                      compacting=False)
+        out = jnp.where(jnp.broadcast_to(alive_f != 0.0, ga.shape), ga, gd)
+        out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
+                  interpret: bool = False):
+    """Reverse one wave's compaction for the 8-row payload (state rows 8..15,
+    i.e. accum+dead).  y: [8, R] in POST-compaction order; masks: [2, R]
+    (alive; dead rows recorded PRE-compaction); meta: that wave's meta.
+    Returns [8, R] in PRE-compaction order.
+    """
+    R = y.shape[1]
+    RD = dead_arr.shape[1]
+    NC = R // cb
+    CBT = cb // ALIGN
+    NC8 = -(-NC // 8) * 8
+    meta8 = jnp.zeros((NC8, META_COLS), jnp.int32).at[:NC].set(meta)
+
+    y3 = y.reshape(8, R // ALIGN, ALIGN)
+    dead3 = dead_arr.reshape(8, RD // ALIGN, ALIGN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, META_COLS), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, cb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # y stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dead stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((8, cb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, CBT, ALIGN), F32),
+            pltpu.VMEM((8, CBT, ALIGN), F32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_expand, cb=cb),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, R), F32)],
+        interpret=interpret,
+    )(meta8, masks, y3, dead3)[0]
+    return out
+
+
+# ----------------------------------------------------------------------
+# numpy oracle (differential tests)
+
+def compact_oracle(state, dead_arr, cb: int, dead_base: int):
+    """Reference implementation of one forward compaction in numpy.
+    dead_arr: [8, RD] (payload rows 8..15 of retired rays).
+    Returns (new_state, new_dead, meta, total_a, overflow, dead_end).
+    """
+    state = np.asarray(state)
+    R = state.shape[1]
+    NC = R // cb
+    alive = state[ROW_ALIVE] != 0
+    dead = state[ROW_DEAD] != 0
+
+    new_state = np.zeros_like(state)
+    new_dead = np.array(dead_arr, copy=True)
+    meta = np.zeros((NC, META_COLS), np.int32)
+
+    off_a = 0
+    off_d = int(dead_base)
+    for c in range(NC):
+        sl = slice(c * cb, (c + 1) * cb)
+        ia = np.nonzero(alive[sl])[0] + c * cb
+        idd = np.nonzero(dead[sl])[0] + c * cb
+        cnt_a, cnt_d = len(ia), len(idd)
+        pad_a = -(-cnt_a // ALIGN) * ALIGN
+        pad_d = -(-cnt_d // ALIGN) * ALIGN
+        meta[c] = [cnt_a, pad_a // ALIGN, off_a,
+                   cnt_d, pad_d // ALIGN, off_d, 0, 0]
+        if off_a + cnt_a <= R:
+            new_state[:, off_a:off_a + cnt_a] = state[:, ia]
+        new_dead[:, off_d:off_d + cnt_d] = state[ROW_ACC:ROW_ACC + 8, idd]
+        off_a += pad_a
+        off_d += pad_d
+
+    overflow = off_a > R
+    return new_state, new_dead, meta, off_a, overflow, off_d
+
+
+def expand_oracle(y, dead_arr, alive, dead, meta, cb: int):
+    """Reference inverse in numpy (8-row payload)."""
+    y = np.asarray(y)
+    R = y.shape[1]
+    NC = R // cb
+    out = np.zeros((8, R), y.dtype)
+    for c in range(NC):
+        sl = slice(c * cb, (c + 1) * cb)
+        ia = np.nonzero(np.asarray(alive[sl]) != 0)[0] + c * cb
+        idd = np.nonzero(np.asarray(dead[sl]) != 0)[0] + c * cb
+        off_a = meta[c, M_OFF_A]
+        off_d = meta[c, M_OFF_D]
+        out[:, ia] = y[:, off_a:off_a + len(ia)]
+        out[:, idd] = np.asarray(dead_arr)[:, off_d:off_d + len(idd)]
+    return out

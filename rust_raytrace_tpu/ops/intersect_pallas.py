@@ -90,7 +90,10 @@ def _predicate_update(pk, o_ref, d_ref, t_ref, id_ref, page_size: int):
                       axis=0, keepdims=True)             # smallest id on tie
 
     best_t = t_ref[:]
-    upd = page_min < best_t
+    # lexicographic (t, id): cross-page ties to the smallest id
+    upd = (page_min < best_t) | ((page_min == best_t)
+                                 & ~jnp.isinf(page_min)
+                                 & (page_id < id_ref[:]))
     t_ref[:] = jnp.where(upd, jnp.broadcast_to(page_min, best_t.shape), best_t)
     id_ref[:] = jnp.where(upd, jnp.broadcast_to(page_id, best_t.shape),
                           id_ref[:])
@@ -281,7 +284,12 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, *rest, page_size: int,
                           axis=0, keepdims=True)
 
         best = S[0:1, :]
-        upd = page_min < best
+        # Lexicographic (t, id) winner: cross-page ties break to the SMALLEST
+        # triangle id (the oracle's argmin tie rule, raytrace.rs:1029-1038),
+        # making the result independent of page visit order and of which
+        # chunk a ray lands in (compaction moves rays between chunks).
+        upd = (page_min < best) | ((page_min == best) & ~jnp.isinf(page_min)
+                                   & (page_id < S[1:2, :]))
 
         @pl.when(jnp.any(upd))
         def _extract():

@@ -1,0 +1,118 @@
+"""Wavefront compaction tests (ops/compact.py vs the numpy oracle).
+
+The compaction is the TPU-native analog of the reference workqueue's
+retire-and-requeue (cuda_raytrace.rs:444-456); it must be a bit-exact
+permutation (f32 payloads move untouched) and perfectly invertible.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rust_raytrace_tpu.ops import compact as C
+
+F32 = np.float32
+
+
+def make_state(rng, R, alive_p=0.4, dead_p=0.3):
+    """Random state with disjoint alive/dead/gap lanes and odd f32 payloads."""
+    st = np.zeros((C.STATE_ROWS, R), dtype=F32)
+    u = rng.random(R)
+    alive = u < alive_p
+    dead = (u >= alive_p) & (u < alive_p + dead_p)
+    # payload: full-entropy f32 bit patterns (finite) to catch any rounding
+    bits = rng.integers(0, 2**32, size=(C.STATE_ROWS, R), dtype=np.uint32)
+    vals = bits.view(np.float32)
+    vals[~np.isfinite(vals)] = 1.25e-7
+    st[:] = vals
+    st[C.ROW_ALIVE] = alive.astype(F32)
+    st[C.ROW_DEAD] = dead.astype(F32)
+    gap = ~(alive | dead)
+    st[:, gap] = 0.0
+    return st, alive, dead
+
+
+@pytest.mark.parametrize("cb,R", [(256, 256 * 5), (512, 512 * 3)])
+def test_forward_matches_oracle(cb, R):
+    rng = np.random.default_rng(7)
+    st, alive, dead = make_state(rng, R)
+    RD = C.dead_capacity(R)
+    dead_arr = np.zeros((8, RD), dtype=F32)
+    dead_base = 128  # nonzero: simulate prior waves' harvest
+
+    exp_state, exp_dead, exp_meta, total_a, overflow, dead_end = \
+        C.compact_oracle(st, dead_arr, cb, dead_base)
+    assert not overflow
+
+    meta, total_a_j, overflow_j, dead_end_j = C.compact_meta(
+        jnp.asarray(st[C.ROW_ALIVE]), jnp.asarray(st[C.ROW_DEAD]), cb,
+        jnp.int32(dead_base), R)
+    np.testing.assert_array_equal(np.asarray(meta), exp_meta)
+    assert int(total_a_j) == total_a
+    assert bool(overflow_j) == overflow
+    assert int(dead_end_j) == dead_end
+
+    new_state, new_dead = C.compact_pallas(
+        jnp.asarray(st), jnp.asarray(dead_arr), meta, cb=cb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(new_state), exp_state)
+    np.testing.assert_array_equal(np.asarray(new_dead), exp_dead)
+
+
+def test_roundtrip_expand():
+    """forward then backward restores every alive/dead lane's 8-row payload."""
+    cb, R = 256, 256 * 7
+    rng = np.random.default_rng(3)
+    st, alive, dead = make_state(rng, R, alive_p=0.25, dead_p=0.5)
+    RD = C.dead_capacity(R)
+    dead_arr = jnp.zeros((8, RD), dtype=F32)
+
+    meta, total_a, overflow, dead_end = C.compact_meta(
+        jnp.asarray(st[C.ROW_ALIVE]), jnp.asarray(st[C.ROW_DEAD]), cb,
+        jnp.int32(0), R)
+    new_state, new_dead = C.compact_pallas(
+        jnp.asarray(st), dead_arr, meta, cb=cb, interpret=True)
+
+    # pretend the next waves finished: y = survivor payload rows (post order)
+    y = np.asarray(new_state)[C.ROW_ACC:C.ROW_ACC + 8]
+    masks = jnp.asarray(np.stack([st[C.ROW_ALIVE], st[C.ROW_DEAD]]))
+    out = C.expand_pallas(jnp.asarray(y), new_dead, masks, meta, cb=cb,
+                          interpret=True)
+    out = np.asarray(out)
+
+    exp = C.expand_oracle(y, np.asarray(new_dead), st[C.ROW_ALIVE],
+                          st[C.ROW_DEAD], np.asarray(meta), cb)
+    np.testing.assert_array_equal(out, exp)
+    # alive lanes: payload round-trips bit-exactly
+    np.testing.assert_array_equal(out[:, alive],
+                                  st[C.ROW_ACC:C.ROW_ACC + 8][:, alive])
+    # dead lanes: payload comes back from the dead array bit-exactly
+    np.testing.assert_array_equal(out[:, dead],
+                                  st[C.ROW_ACC:C.ROW_ACC + 8][:, dead])
+    # gap lanes zero
+    gap = ~(alive | dead)
+    assert (out[:, gap] == 0).all()
+
+
+def test_empty_and_full_chunks():
+    cb, R = 256, 256 * 4
+    st = np.zeros((C.STATE_ROWS, R), dtype=F32)
+    # chunk 0: all alive; chunk 1: all dead; chunk 2: gaps; chunk 3: mixed
+    st[C.ROW_ALIVE, :256] = 1.0
+    st[C.ROW_DEAD, 256:512] = 1.0
+    st[C.ROW_ALIVE, 768:800] = 1.0
+    st[C.ROW_DEAD, 800:1024:2] = 1.0
+    st[0] = np.arange(R, dtype=F32)  # payload to track
+    st[C.ROW_DEAD, 800:1024:2] = 1.0
+    st[0, ~((st[C.ROW_ALIVE] != 0) | (st[C.ROW_DEAD] != 0))] = 0.0
+
+    dead_arr = np.zeros((8, C.dead_capacity(R)), dtype=F32)
+    exp_state, exp_dead, exp_meta, *_ = C.compact_oracle(st, dead_arr, cb, 0)
+    meta, *_ = C.compact_meta(jnp.asarray(st[C.ROW_ALIVE]),
+                              jnp.asarray(st[C.ROW_DEAD]), cb, jnp.int32(0), R)
+    np.testing.assert_array_equal(np.asarray(meta), exp_meta)
+    new_state, new_dead = C.compact_pallas(
+        jnp.asarray(st), jnp.asarray(dead_arr), meta, cb=cb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(new_state), exp_state)
+    np.testing.assert_array_equal(np.asarray(new_dead), exp_dead)
