@@ -1,0 +1,65 @@
+"""Bit-exactness contract across the three implementations (VERDICT item 4).
+
+What is promised (and enforced here), under FixedRng at spp == 1:
+
+  1. Engine (production culled+compacted wavefront, Pallas kernels in
+     interpret mode) == WavefrontRenderer("xla"): max |diff| == 0.0.  The
+     two share the shading algebra but differ in everything else (packet
+     cull vs brute force, winner-state extraction vs gathers, compaction
+     permutations vs in-place) — equality is the strongest cross-check.
+  2. Both vs the recursive numpy oracle: <= 1 ULP of 2^-23 per channel.
+     The oracle evaluates mix_color recursively (c_surf*(1-a) + a*child,
+     raytrace.rs:1199-1254); the wavefront unrolls it into a running
+     (accum, weight) pair — the same polynomial with a different
+     association order, so f32 rounding may differ in the last bit.
+     Exact 0.0 against the oracle is NOT promised (and CLAUDE.md says so).
+"""
+
+import numpy as np
+import pytest
+
+from rust_raytrace_tpu import oracle
+from rust_raytrace_tpu.engine import Engine
+from rust_raytrace_tpu.render import WavefrontRenderer
+from rust_raytrace_tpu.utils.png import quantize_u8
+
+ULP = 1.1920929e-07  # 2**-23
+
+
+@pytest.mark.needs_teapot
+def test_engine_equals_xla_equals_oracle():
+    from rust_raytrace_tpu.models import teapot
+
+    scene, vp = teapot.build(resolution=(48, 32))
+    img_o = oracle.render(scene.tris, vp, rng=oracle.FixedRng())
+
+    wr = WavefrontRenderer(scene, backend="xla", page_size=64, ray_chunk=256)
+    img_x = wr.render(vp, fixed_rng=True).image
+
+    eng = Engine(scene, page_size=64, ray_chunk=256, interpret=True)
+    assert eng.compact
+    img_e = eng.render(vp, fixed_rng=True, quantize=False).image
+
+    # (1) production engine == portable xla, bitwise
+    np.testing.assert_array_equal(img_e, img_x)
+    # (2) both vs the recursive oracle: at most 1 ULP
+    assert np.abs(img_e - img_o).max() <= ULP
+    assert np.abs(img_x - img_o).max() <= ULP
+    # and the 1-ULP slack never flips the PNG quantization on this scene
+    np.testing.assert_array_equal(quantize_u8(img_e), quantize_u8(img_o))
+
+
+@pytest.mark.needs_teapot
+def test_engine_compact_equals_no_compact():
+    """Compaction is a pure permutation: switching it off must not change a
+    single bit of the image."""
+    from rust_raytrace_tpu.models import teapot
+
+    scene, vp = teapot.build(resolution=(48, 32))
+    e1 = Engine(scene, page_size=64, ray_chunk=256, interpret=True,
+                compact=True)
+    e0 = Engine(scene, page_size=64, ray_chunk=256, interpret=True,
+                compact=False)
+    i1 = e1.render(vp, fixed_rng=True, quantize=False).image
+    i0 = e0.render(vp, fixed_rng=True, quantize=False).image
+    np.testing.assert_array_equal(i1, i0)
