@@ -44,13 +44,15 @@ from . import math3d as m3
 from .camera import Viewport
 from .ops.cull import (chunk_bounds, chunk_bounds_octants, cull_mask_exact,
                        cull_mask_tmin, cull_mask_tmin_octants)
-from .ops.cull_pallas import cull_mask_exact_pallas
+from .ops.cull_pallas import cull_mask_exact_pallas, cull_sorted_pallas
 from .ops.compact import (DEFAULT_CB, ROW_ACC, ROW_ALIVE, ROW_DEAD, ROW_W,
                           STATE_ROWS, compact_meta, compact_pallas,
                           expand_pallas, make_dead_array)
 from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
                                    ROW_NORM, ROW_SCAT, ROW_T,
+                                   TRACE_ROWS as TRACE_ROWS_TOTAL,
                                    fold_pages_origin, trace_chunks_pallas)
+from .ops.intersect_perlane import build_perlane_tables, trace_perlane_pallas
 from .ops.pages import build_pages_morton
 from .render import (KIND_MATTE, KIND_REFLECTIVE, RayCaster, RenderResult,
                      SceneTensors, _unit, upload_scene)
@@ -333,7 +335,8 @@ def _quantize_u8(img):
 
 def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                  key, wave, fixed_rng, light_orig, light_len2, page_size,
-                 ray_chunk, interpret, nbuf):
+                 ray_chunk, interpret, nbuf, plt_i=None, plt_s=None,
+                 ab_tab=None):
     """Shadow-ray pass (commented reference design, raytrace.rs:600-610,
     1203-1224): jittered ray to the light from each hit; shadowed if any
     OTHER triangle intersects it (origin triangle excluded in-kernel)."""
@@ -359,16 +362,23 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
     so = point + norm_f * (F32(0.005) * (u1 + F32(1.0)))
     so_m = jnp.where(hit_mask, so, 0.0)
     sd_m = jnp.where(hit_mask, sd, 0.0)
-    smask, stmin = cull_mask_exact_pallas(so_m, sd_m, hit_mask[0], aabb_lo,
-                                          aabb_hi, ray_chunk,
-                                          interpret=interpret)
-    scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
-    splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
-    sptmin = jnp.take_along_axis(stmin, splist, axis=1)
     sexcl = jnp.where(hit_mask, hid, 0.0)
-    srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
-                                sptmin, page_size, ray_chunk,
-                                interpret=interpret, nbuf=nbuf, excl=sexcl)
+    if plt_i is not None:
+        # shadow rays are maximally scattered — per-lane traversal, no cull
+        srows = trace_perlane_pallas(so_m, sd_m, hit_mask[0], plt_i, plt_s,
+                                     ab_tab, page_size, ray_chunk,
+                                     interpret=interpret, excl=sexcl)
+    else:
+        smask, stmin = cull_mask_exact_pallas(so_m, sd_m, hit_mask[0],
+                                              aabb_lo, aabb_hi, ray_chunk,
+                                              interpret=interpret)
+        scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
+        splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
+        sptmin = jnp.take_along_axis(stmin, splist, axis=1)
+        srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
+                                    sptmin, page_size, ray_chunk,
+                                    interpret=interpret, nbuf=nbuf,
+                                    excl=sexcl)
     sid = srows[ROW_ID:ROW_ID + 1]
     return (hit_mask & (sid != 0.0))[0]
 
@@ -377,14 +387,17 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                    static_argnames=("maxdepth", "ray_chunk", "page_size",
                                     "fixed_rng", "interpret", "want_primary",
                                     "quantize", "has_lights", "weight_cutoff",
-                                    "nbuf", "cb"))
+                                    "nbuf", "cb", "bounce_rb",
+                                    "profile_skip"))
 def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            key, maxdepth: int, ray_chunk: int,
                            page_size: int, fixed_rng: bool, interpret: bool,
                            want_primary: bool, quantize: bool,
                            has_lights: bool = False, light_orig=None,
                            light_len2=None, weight_cutoff: float = 0.0,
-                           pk0=None, nbuf: int = 2, cb: int = DEFAULT_CB):
+                           pk0=None, nbuf: int = 2, cb: int = DEFAULT_CB,
+                           bounce_rb: int = 0, plt_i=None, plt_s=None,
+                           ab_tab=None, profile_skip: tuple = ()):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -409,34 +422,55 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
 
     dead_arr = make_dead_array(R)
     dead_base = jnp.int32(0)
-    chunk_live = jnp.ones((NC,), jnp.int32)
+    chunk_live = None    # None = all chunks live (cull kernel default)
 
     wave_counts = []
     primary = None
     metas, masks_list, oflows = [], [], []
 
     for wave in range(maxdepth):
+        # Bounce waves run on smaller chunks: compaction packs survivors
+        # densely, and with scattered directions the per-ray triangle-test
+        # count is the chunk's page-union size — smaller chunks mean tighter
+        # unions (chunking is only a reshape view of the state array).
+        rb_w = RB if (wave == 0 or not bounce_rb) else bounce_rb
         o_w = state[0:3]
         d_w = state[3:6]
         alive = state[ROW_ALIVE] != 0.0
         wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
 
-        mask, tmin = cull_mask_exact_pallas(o_w, d_w, alive, aabb_lo,
-                                            aabb_hi, RB,
-                                            chunk_live=chunk_live,
-                                            interpret=interpret)
-        counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
-        plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
-        ptmin = jnp.take_along_axis(tmin, plist, axis=1)
-
-        if wave == 0 and pk0 is not None:
-            rows = trace_chunks_pallas(o_w, d_w, pk0, counts, plist, ptmin,
-                                       page_size, RB, interpret=interpret,
-                                       zero_origin=True, nbuf=nbuf)
+        perlane = plt_i is not None and wave > 0
+        if "trace" in profile_skip:
+            rows = jnp.zeros((TRACE_ROWS_TOTAL, R), F32)
+        elif perlane:
+            # Bounce waves: per-lane traversal — each ray tests only its
+            # OWN slab-selected pages (~6-8) instead of the chunk union
+            # (~90 for scattered directions); no packet cull or page sort
+            # needed at all (ops/intersect_perlane.py).
+            rows = trace_perlane_pallas(o_w, d_w, alive, plt_i, plt_s,
+                                        ab_tab, page_size, rb_w,
+                                        chunk_live=chunk_live,
+                                        interpret=interpret)
         else:
-            rows = trace_chunks_pallas(o_w, d_w, st.PK, counts, plist, ptmin,
-                                       page_size, RB, interpret=interpret,
-                                       nbuf=nbuf)
+            # wave 0 (and NP > 128 fallback): coherent chunks + packet cull
+            # + XLA argsort (~4 ms; the fused in-kernel rank-sort variant
+            # measured ~40 ms/wave slower — see cull_sorted_pallas)
+            mask, tmin = cull_mask_exact_pallas(o_w, d_w, alive, aabb_lo,
+                                                aabb_hi, rb_w,
+                                                chunk_live=chunk_live,
+                                                interpret=interpret)
+            counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+            plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
+            ptmin = jnp.take_along_axis(tmin, plist, axis=1)
+            if wave == 0 and pk0 is not None:
+                rows = trace_chunks_pallas(o_w, d_w, pk0, counts, plist,
+                                           ptmin, page_size, rb_w,
+                                           interpret=interpret,
+                                           zero_origin=True, nbuf=nbuf)
+            else:
+                rows = trace_chunks_pallas(o_w, d_w, st.PK, counts, plist,
+                                           ptmin, page_size, rb_w,
+                                           interpret=interpret, nbuf=nbuf)
         if wave == 0 and want_primary:
             primary = rows[ROW_T:ROW_ID + 1]
 
@@ -451,8 +485,9 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
         if has_lights:
             shadowed = _shadow_mask(st, aabb_lo, aabb_hi, o_w, d_w, alive,
                                     rows, key, wave, fixed_rng, light_orig,
-                                    light_len2, page_size, RB, interpret,
-                                    nbuf)
+                                    light_len2, page_size, rb_w, interpret,
+                                    nbuf, plt_i=plt_i, plt_s=plt_s,
+                                    ab_tab=ab_tab)
 
         contrib, weight, alive2, o2, d2 = _shade_rows(
             rows, o_w, d_w, state[ROW_W], alive, rv, shadowed)
@@ -466,7 +501,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                  .at[ROW_DEAD].set(jnp.maximum(state[ROW_DEAD],
                                                died.astype(F32))))
 
-        if wave < maxdepth - 1:
+        if wave < maxdepth - 1 and "compact" not in profile_skip:
             meta, total_a, overflow, dead_end = compact_meta(
                 state[ROW_ALIVE], state[ROW_DEAD], cb, dead_base, R)
             masks2 = jnp.stack([state[ROW_ALIVE], state[ROW_DEAD]])
@@ -480,10 +515,13 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
 
             state, dead_arr = jax.lax.cond(overflow, _skip, _do)
             dead_base = jnp.where(overflow, dead_base, dead_end)
+            rb_next = bounce_rb if bounce_rb else RB
+            nc_next = R // rb_next
             live_nc = jnp.where(
-                overflow, NC,
-                jnp.minimum((total_a + RB - 1) // RB, NC)).astype(jnp.int32)
-            chunk_live = (jnp.arange(NC, dtype=jnp.int32)
+                overflow, nc_next,
+                jnp.minimum((total_a + rb_next - 1) // rb_next,
+                            nc_next)).astype(jnp.int32)
+            chunk_live = (jnp.arange(nc_next, dtype=jnp.int32)
                           < live_nc).astype(jnp.int32)
             metas.append(meta)
             masks_list.append(masks2)
@@ -492,15 +530,16 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     # Reassemble: walk the permutations backward so accum lands back in
     # original tile order (rows 0..2 of the 8-row payload = accum).
     y = state[ROW_ACC:ROW_ACC + 8]
-    for w in range(maxdepth - 2, -1, -1):
-        def _exp(y=y, w=w):
-            return expand_pallas(y, dead_arr, masks_list[w], metas[w], cb=cb,
-                                 interpret=interpret)
+    if "expand" not in profile_skip:
+        for w in range(len(metas) - 1, -1, -1):
+            def _exp(y=y, w=w):
+                return expand_pallas(y, dead_arr, masks_list[w], metas[w],
+                                     cb=cb, interpret=interpret)
 
-        def _id(y=y, w=w):
-            return y
+            def _id(y=y, w=w):
+                return y
 
-        y = jax.lax.cond(oflows[w], _id, _exp)
+            y = jax.lax.cond(oflows[w], _id, _exp)
 
     img = y[0:3]
     if quantize:
@@ -534,6 +573,14 @@ class Engine(RayCaster):
         self.tensors = upload_scene(scene, pages=self.pages)
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
         self.aabb_hi = jnp.asarray(self.pages.aabb_hi)
+        # per-lane traversal tables (bounce waves) need NP <= 128
+        if self.pages.num_pages <= 128:
+            plt_i, plt_s, ab = build_perlane_tables(self.pages)
+            self.plt_i = jnp.asarray(plt_i)
+            self.plt_s = jnp.asarray(plt_s)
+            self.ab_tab = jnp.asarray(ab)
+        else:
+            self.plt_i = self.plt_s = self.ab_tab = None
         self.page_size = page_size
         self.ray_chunk = ray_chunk
         self.interpret = interpret
@@ -591,8 +638,7 @@ class Engine(RayCaster):
         alive0 = jnp.arange(R) < R0
 
         lights = self.scene.lights
-        use_compact = (self.compact and spp == 1 and not self.bounce_chunk
-                       and self.exact_cull)
+        use_compact = self.compact and spp == 1 and self.exact_cull
         if use_compact:
             img_dev, wave_counts, primary = _render_device_compact(
                 self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
@@ -605,7 +651,8 @@ class Engine(RayCaster):
                 light_len2=(jnp.asarray(lights.len2, dtype=F32)
                             if lights is not None else None),
                 weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
-                pk0=pk0, nbuf=self.nbuf)
+                pk0=pk0, nbuf=self.nbuf, bounce_rb=self.bounce_chunk,
+                plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab)
         else:
             img_dev, wave_counts, primary = _render_device(
                 self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,

@@ -78,6 +78,18 @@ ALIGN = 128
 M_CNT_A, M_CASE_A, M_OFF_A, M_CNT_D, M_CASE_D, M_OFF_D = range(6)
 META_COLS = 8
 
+#: bucketed ("ray sorting") variant — survivors are grouped BUCKET-MAJOR by
+#: direction octant, so post-compaction chunks hold rays with coherent
+#: directions (and, within a bucket, original spatial order): the packet
+#: cull's per-chunk page unions stay tight for bounce waves.  Bucket codes
+#: in the ROW_CODE state row: 0 = gap, 1 = retired (pending harvest),
+#: 2+q = alive with direction octant q.
+NB = 8                       # alive buckets (direction octants)
+ROW_CODE = 12
+META9_COLS = 32              # [cnt,case,off] x 8 octants, dead, busy flag
+M9_DEAD = 3 * NB             # cols 24..26
+M9_BUSY = 27
+
 
 def dead_capacity(R: int) -> int:
     """Static dead-array lane capacity (see module docstring)."""
@@ -456,5 +468,381 @@ def expand_oracle(y, dead_arr, alive, dead, meta, cb: int):
         off_a = meta[c, M_OFF_A]
         off_d = meta[c, M_OFF_D]
         out[:, ia] = y[:, off_a:off_a + len(ia)]
+        out[:, idd] = np.asarray(dead_arr)[:, off_d:off_d + len(idd)]
+    return out
+
+
+# ----------------------------------------------------------------------
+# Bucketed compaction ("wavefront compaction + ray sorting")
+
+def compact_meta_buckets(code, cb: int, dead_base, R: int):
+    """Per-chunk, per-bucket counts/offsets for the octant-sorted layout.
+
+    code: [R] f32 (0 gap / 1 dead / 2+q alive-octant-q).  Survivor segments
+    are laid out BUCKET-MAJOR (all of octant 0, then octant 1, ...), each
+    (chunk, bucket) segment 128-aligned; within a bucket, chunks appear in
+    order, so spatial coherence of the source order is preserved.
+
+    Returns (meta [NC, META9_COLS] int32, total_a, overflow, dead_end).
+    """
+    NC = R // cb
+    codes = code.reshape(NC, cb)
+    cnts = []
+    for q in range(NB):
+        cnts.append(jnp.sum(codes == float(2 + q), axis=1, dtype=jnp.int32))
+    cnt_q = jnp.stack(cnts, axis=1)                     # [NC, NB]
+    cnt_d = jnp.sum(codes == 1.0, axis=1, dtype=jnp.int32)
+
+    pad_q = ((cnt_q + (ALIGN - 1)) // ALIGN) * ALIGN
+    pad_d = ((cnt_d + (ALIGN - 1)) // ALIGN) * ALIGN
+
+    tot_q = jnp.sum(pad_q, axis=0)                      # [NB]
+    base_q = jnp.cumsum(tot_q) - tot_q                  # bucket-major bases
+    within = jnp.cumsum(pad_q, axis=0) - pad_q          # [NC, NB]
+    off_q = base_q[None, :] + within
+
+    cs_d = jnp.cumsum(pad_d)
+    off_d = dead_base.astype(jnp.int32) + cs_d - pad_d
+    dead_end = dead_base.astype(jnp.int32) + cs_d[-1]
+
+    total_a = jnp.sum(tot_q)
+    overflow = total_a > R
+    busy = ((jnp.sum(cnt_q, axis=1) + cnt_d) > 0).astype(jnp.int32)
+
+    cols = []
+    for q in range(NB):
+        cols += [cnt_q[:, q], pad_q[:, q] // ALIGN, off_q[:, q]]
+    cols += [cnt_d, pad_d // ALIGN, off_d, busy]
+    meta = jnp.stack(cols, axis=1)                      # [NC, 28]
+    meta = jnp.pad(meta, ((0, 0), (0, META9_COLS - meta.shape[1])))
+    return meta, total_a, overflow, dead_end
+
+
+def _kernel_compact_b(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
+                      ca, cd, sems, sem_d, *, cb: int):
+    """Bucketed forward pass, grid (NC,).  Per chunk: rank every bucket,
+    permute each bucket's members to its own compacted buffer, and DMA each
+    to its global (bucket-major) segment.  All bucket DMAs are issued
+    async and drained at the end of the chunk so their latencies overlap."""
+    del zeros_in, dead_in
+    row = jax.lax.rem(pl.program_id(0), 8)
+    ntile = cb // ALIGN
+
+    @pl.when(meta_ref[row, M9_BUSY] != 0)
+    def _busy():
+        st = st_ref[:]                                   # [16, CB]
+        code = st[ROW_CODE:ROW_CODE + 1, :]
+        masks = jnp.concatenate(
+            [(code == float(2 + q)).astype(F32) for q in range(NB)]
+            + [(code == 1.0).astype(F32)], axis=0)       # [9, CB]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 1)
+        klt = (lane < sub).astype(BF16)
+        ranks = jax.lax.dot_general(
+            masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)                  # [9, CB]
+        vb = _to_bytes(st)                               # [64, CB] bf16
+        vbd = _to_bytes(st[ROW_ACC:ROW_ACC + 8])         # [32, CB] bf16
+
+        for q in range(NB):
+            cnt = meta_ref[row, 3 * q]
+            case = meta_ref[row, 3 * q + 1]
+            off = meta_ref[row, 3 * q + 2]
+
+            @pl.when(cnt > 0)
+            def _bucket(q=q, case=case, off=off):
+                m = _onehot(ranks[q:q + 1], masks[q:q + 1], cb)
+                parts = jax.lax.dot_general(
+                    vb, m, (((1,), (1,)), ((), ())),
+                    preferred_element_type=F32)
+                _tiles(ca.at[q], _from_bytes(parts, STATE_ROWS), ntile)
+                _seg_start(ca.at[q], out_hbm, off, case, sems.at[q], ntile)
+
+        cnt_d = meta_ref[row, M9_DEAD]
+
+        @pl.when(cnt_d > 0)
+        def _dead():
+            m = _onehot(ranks[NB:NB + 1], masks[NB:NB + 1], cb)
+            parts = jax.lax.dot_general(
+                vbd, m, (((1,), (1,)), ((), ())), preferred_element_type=F32)
+            _tiles(cd, _from_bytes(parts, 8), ntile)
+            _seg_start(cd, dead_hbm, meta_ref[row, M9_DEAD + 2],
+                       meta_ref[row, M9_DEAD + 1], sem_d, ntile)
+
+        # drain all in-flight segment DMAs before the next chunk reuses
+        # the scratch buffers
+        for q in range(NB):
+            _seg_wait(ca.at[q], out_hbm, meta_ref[row, 3 * q + 2],
+                      meta_ref[row, 3 * q + 1], sems.at[q], ntile,
+                      meta_ref[row, 3 * q])
+        _seg_wait(cd, dead_hbm, meta_ref[row, M9_DEAD + 2],
+                  meta_ref[row, M9_DEAD + 1], sem_d, ntile,
+                  meta_ref[row, M9_DEAD])
+
+
+def _seg_start(src_ref, dst3, off, case, sem, max_case: int):
+    off_t = off // ALIGN
+    for k in range(1, max_case + 1):
+        @pl.when(case == k)
+        def _(k=k):
+            pltpu.make_async_copy(
+                src_ref.at[:, 0:k, :],
+                dst3.at[:, pl.ds(off_t, k), :], sem).start()
+
+
+def _seg_wait(src_ref, dst3, off, case, sem, max_case: int, cnt):
+    off_t = off // ALIGN
+    for k in range(1, max_case + 1):
+        @pl.when((case == k) & (cnt > 0))
+        def _(k=k):
+            pltpu.make_async_copy(
+                src_ref.at[:, 0:k, :],
+                dst3.at[:, pl.ds(off_t, k), :], sem).wait()
+
+
+def _seg_read_start(src3, off, case, dst_ref, sem, max_case: int):
+    off_t = off // ALIGN
+    for k in range(1, max_case + 1):
+        @pl.when(case == k)
+        def _(k=k):
+            pltpu.make_async_copy(
+                src3.at[:, pl.ds(off_t, k), :],
+                dst_ref.at[:, 0:k, :], sem).start()
+
+
+def _seg_read_wait(src3, off, case, dst_ref, sem, max_case: int, cnt):
+    off_t = off // ALIGN
+    for k in range(1, max_case + 1):
+        @pl.when((case == k) & (cnt > 0))
+        def _(k=k):
+            pltpu.make_async_copy(
+                src3.at[:, pl.ds(off_t, k), :],
+                dst_ref.at[:, 0:k, :], sem).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def compact_pallas_buckets(state, dead_arr, meta, cb: int = DEFAULT_CB,
+                           interpret: bool = False):
+    """Bucketed (octant-sorted) forward compaction.  Same contract as
+    compact_pallas, but the survivor prefix is bucket-major by octant."""
+    R = state.shape[1]
+    RD = dead_arr.shape[1]
+    NC = R // cb
+    CBT = cb // ALIGN
+    NC8 = -(-NC // 8) * 8
+    meta8 = jnp.zeros((NC8, META9_COLS), jnp.int32).at[:NC].set(meta)
+
+    zeros3 = jnp.zeros((STATE_ROWS, R // ALIGN, ALIGN), F32)
+    dead3 = dead_arr.reshape(8, RD // ALIGN, ALIGN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, META9_COLS), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, cb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NB, STATE_ROWS, CBT, ALIGN), F32),
+            pltpu.VMEM((8, CBT, ALIGN), F32),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    new_state3, new_dead3 = pl.pallas_call(
+        functools.partial(_kernel_compact_b, cb=cb),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(zeros3.shape, F32),
+            jax.ShapeDtypeStruct(dead3.shape, F32),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )(meta8, state, zeros3, dead3)
+    return (new_state3.reshape(STATE_ROWS, R), new_dead3.reshape(8, RD))
+
+
+def _kernel_expand_b(meta_ref, code_ref, y_hbm, dead_hbm, out_ref, sa, sd,
+                     sems, sem_d, *, cb: int):
+    """Bucketed inverse pass: every original lane re-reads its 8-row payload
+    from its bucket's compacted segment (or the dead array)."""
+    row = jax.lax.rem(pl.program_id(0), 8)
+    ntile = cb // ALIGN
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(meta_ref[row, M9_BUSY] != 0)
+    def _busy():
+        code = code_ref[0:1, :]
+        masks = jnp.concatenate(
+            [(code == float(2 + q)).astype(F32) for q in range(NB)]
+            + [(code == 1.0).astype(F32)], axis=0)       # [9, CB]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 1)
+        klt = (lane < sub).astype(BF16)
+        ranks = jax.lax.dot_general(
+            masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)
+
+        for q in range(NB):
+            @pl.when(meta_ref[row, 3 * q] > 0)
+            def _rq(q=q):
+                _seg_read_start(y_hbm, meta_ref[row, 3 * q + 2],
+                                meta_ref[row, 3 * q + 1], sa.at[q],
+                                sems.at[q], ntile)
+
+        @pl.when(meta_ref[row, M9_DEAD] > 0)
+        def _rd():
+            _seg_read_start(dead_hbm, meta_ref[row, M9_DEAD + 2],
+                            meta_ref[row, M9_DEAD + 1], sd, sem_d, ntile)
+
+        for q in range(NB):
+            _seg_read_wait(y_hbm, meta_ref[row, 3 * q + 2],
+                           meta_ref[row, 3 * q + 1], sa.at[q], sems.at[q],
+                           ntile, meta_ref[row, 3 * q])
+        _seg_read_wait(dead_hbm, meta_ref[row, M9_DEAD + 2],
+                       meta_ref[row, M9_DEAD + 1], sd, sem_d, ntile,
+                       meta_ref[row, M9_DEAD])
+
+        # disjoint buckets: each lane receives exactly one contribution
+        acc = None
+        for q in range(NB):
+            g = _permute(_untile(sa.at[q], ntile),
+                         _onehot(ranks[q:q + 1], masks[q:q + 1], cb),
+                         compacting=False)
+            acc = g if acc is None else _sum_exact(acc, g)
+        gd = _permute(_untile(sd, ntile),
+                      _onehot(ranks[NB:NB + 1], masks[NB:NB + 1], cb),
+                      compacting=False)
+        out_ref[:] = _sum_exact(acc, gd)
+
+
+def _sum_exact(a, b):
+    """Combine disjoint-support f32 payloads bit-exactly (a + b would round
+    -0.0 + x etc fine, but bitwise OR of the disjoint patterns is safer)."""
+    ua = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    ub = jax.lax.bitcast_convert_type(b, jnp.uint32)
+    return jax.lax.bitcast_convert_type(ua | ub, F32)
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def expand_pallas_buckets(y, dead_arr, code, meta, cb: int = DEFAULT_CB,
+                          interpret: bool = False):
+    """Reverse one bucketed compaction for the 8-row payload.
+    code: [1, R] f32 bucket codes recorded PRE-compaction."""
+    R = y.shape[1]
+    RD = dead_arr.shape[1]
+    NC = R // cb
+    CBT = cb // ALIGN
+    NC8 = -(-NC // 8) * 8
+    meta8 = jnp.zeros((NC8, META9_COLS), jnp.int32).at[:NC].set(meta)
+
+    y3 = y.reshape(8, R // ALIGN, ALIGN)
+    dead3 = dead_arr.reshape(8, RD // ALIGN, ALIGN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, META9_COLS), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, cb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NB, 8, CBT, ALIGN), F32),
+            pltpu.VMEM((8, CBT, ALIGN), F32),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_expand_b, cb=cb),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, R), F32)],
+        interpret=interpret,
+    )(meta8, code, y3, dead3)[0]
+    return out
+
+
+def compact_oracle_buckets(state, dead_arr, cb: int, dead_base: int):
+    """numpy reference for the bucketed forward pass."""
+    state = np.asarray(state)
+    R = state.shape[1]
+    NC = R // cb
+    code = state[ROW_CODE]
+
+    new_state = np.zeros_like(state)
+    new_dead = np.array(dead_arr, copy=True)
+    meta = np.zeros((NC, META9_COLS), np.int32)
+
+    # bucket-major bases
+    pad_q = np.zeros((NC, NB), np.int64)
+    for c in range(NC):
+        sl = code[c * cb:(c + 1) * cb]
+        for q in range(NB):
+            cnt = int((sl == 2 + q).sum())
+            pad_q[c, q] = -(-cnt // ALIGN) * ALIGN
+    base = np.concatenate([[0], np.cumsum(pad_q.sum(axis=0))])[:NB]
+
+    off_d = int(dead_base)
+    offs = base.copy().astype(np.int64)
+    for c in range(NC):
+        sl = slice(c * cb, (c + 1) * cb)
+        codes_c = code[sl]
+        busy = 0
+        for q in range(NB):
+            idx = np.nonzero(codes_c == 2 + q)[0] + c * cb
+            cnt = len(idx)
+            pad = -(-cnt // ALIGN) * ALIGN
+            meta[c, 3 * q:3 * q + 3] = [cnt, pad // ALIGN, offs[q]]
+            if offs[q] + cnt <= R:
+                new_state[:, offs[q]:offs[q] + cnt] = state[:, idx]
+            offs[q] += pad
+            busy += cnt
+        idd = np.nonzero(codes_c == 1)[0] + c * cb
+        cnt_d = len(idd)
+        pad_d = -(-cnt_d // ALIGN) * ALIGN
+        meta[c, M9_DEAD:M9_DEAD + 3] = [cnt_d, pad_d // ALIGN, off_d]
+        new_dead[:, off_d:off_d + cnt_d] = state[ROW_ACC:ROW_ACC + 8, idd]
+        off_d += pad_d
+        busy += cnt_d
+        meta[c, M9_BUSY] = 1 if busy else 0
+
+    total_a = int(base[NB - 1] + pad_q[:, NB - 1].sum()) if NB else 0
+    overflow = total_a > R
+    return new_state, new_dead, meta, total_a, overflow, off_d
+
+
+def expand_oracle_buckets(y, dead_arr, code, meta, cb: int):
+    """numpy reference for the bucketed inverse."""
+    y = np.asarray(y)
+    code = np.asarray(code).reshape(-1)
+    R = y.shape[1]
+    NC = R // cb
+    out = np.zeros((8, R), y.dtype)
+    for c in range(NC):
+        sl = slice(c * cb, (c + 1) * cb)
+        codes_c = code[sl]
+        for q in range(NB):
+            idx = np.nonzero(codes_c == 2 + q)[0] + c * cb
+            off = meta[c, 3 * q + 2]
+            out[:, idx] = y[:, off:off + len(idx)]
+        idd = np.nonzero(codes_c == 1)[0] + c * cb
+        off_d = meta[c, M9_DEAD + 2]
         out[:, idd] = np.asarray(dead_arr)[:, off_d:off_d + len(idd)]
     return out

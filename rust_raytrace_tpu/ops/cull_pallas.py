@@ -39,6 +39,158 @@ F32 = jnp.float32
 BIG = 1e30
 
 
+BIGT = 3.0e38    # finite "miss" key so one-hot sums stay NaN-free
+
+
+def _kernel_sorted(flags_ref, o_ref, d_ref, v_ref, lo_ref, hi_ref,
+                   cnt_ref, plist_ref, ptmin_ref):
+    """Cull + in-kernel front-to-back page sort, one chunk per grid step.
+
+    XLA's argsort on the [NC, NP] tmin matrix measured ~31 ms/wave on chip —
+    more than the cull arithmetic itself — so the sort happens here with a
+    one-hot rank matrix: rank[p] = #{p': (key', p') < (key, p)} via one
+    [NPpad, NPpad] compare (keys are the conservative entry distances,
+    misses pushed to the back with a finite BIG key), then plist/ptmin are
+    extracted with masked one-hot reductions.  ~3 * NPpad^2 VPU ops per
+    chunk — noise next to the slab tests.
+
+    Outputs (row i % 8 of [8, *] blocks): cnt (lane 0), plist [NPpad],
+    ptmin [NPpad] — exactly the trace kernel's meta contract.
+    """
+    row = jax.lax.rem(pl.program_id(0), 8)
+    npad = plist_ref.shape[1]
+
+    @pl.when(flags_ref[row, 0] == 0)
+    def _dead():
+        cnt_ref[row, :] = jnp.zeros((cnt_ref.shape[1],), F32)
+        plist_ref[row, :] = jnp.zeros((npad,), F32)
+        ptmin_ref[row, :] = jnp.full((npad,), F32(BIGT))
+
+    @pl.when(flags_ref[row, 0] != 0)
+    def _live():
+        valid = v_ref[0:1, :] != 0.0                    # [1, RB]
+        tlo = None
+        thi = None
+        for k in range(3):
+            o_k = o_ref[k:k + 1, :]
+            d_k = d_ref[k:k + 1, :]
+            inv = jnp.where(d_k != 0.0, 1.0 / d_k,
+                            jnp.where(d_k >= 0.0, F32(BIG), F32(-BIG)))
+            lo_k = lo_ref[:, k:k + 1]
+            hi_k = hi_ref[:, k:k + 1]
+            t1 = (lo_k - o_k) * inv
+            t2 = (hi_k - o_k) * inv
+            alo = jnp.minimum(t1, t2)
+            ahi = jnp.maximum(t1, t2)
+            tlo = alo if tlo is None else jnp.maximum(tlo, alo)
+            thi = ahi if thi is None else jnp.minimum(thi, ahi)
+
+        # lane 3 of lo: 1.0 for real pages, 0.0 for NP..NPpad padding (an
+        # inverted AABB does NOT yield an empty slab interval under the
+        # min/max formulation, so padding needs an explicit flag)
+        page_ok = lo_ref[:, 3:4] != 0.0                 # [NPpad, 1]
+        hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok
+        entry = jnp.where(hit, jnp.maximum(tlo, 0.0), F32(BIGT))
+        hit_s = jnp.max(hit.astype(F32), axis=1, keepdims=True)  # [NPpad, 1]
+        key_s = jnp.min(entry, axis=1, keepdims=True)            # [NPpad, 1]
+        key_s = jnp.where(hit_s != 0.0, key_s, F32(BIGT))
+
+        cnt_ref[row, :] = jnp.broadcast_to(jnp.sum(hit_s), (cnt_ref.shape[1],))
+
+        # rank-sort the pages by (key, index): key as a lane vector comes
+        # from the same reduction relayouted
+        key_l = jnp.min(entry, axis=1)[None, :]                  # [1, NPpad]
+        hit_l = jnp.max(hit.astype(F32), axis=1)[None, :]
+        key_l = jnp.where(hit_l != 0.0, key_l, F32(BIGT))
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+        kb_l = jnp.broadcast_to(key_l, (npad, npad))
+        kb_s = jnp.broadcast_to(key_s, (npad, npad))
+        less = (kb_l < kb_s) | ((kb_l == kb_s) & (lane_i < sub_i))
+        rank_s = jnp.sum(less.astype(F32), axis=1, keepdims=True)  # [NPpad,1]
+
+        onehot = (jnp.broadcast_to(rank_s, (npad, npad))
+                  == lane_i.astype(F32))                 # G[p, r]
+        page_f = sub_i.astype(F32)
+        plist_ref[row, :] = jnp.sum(jnp.where(onehot, page_f, 0.0), axis=0)
+        ptmin_ref[row, :] = jnp.sum(
+            jnp.where(onehot, jnp.broadcast_to(key_s, (npad, npad)), 0.0),
+            axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("ray_chunk", "interpret"))
+def cull_sorted_pallas(ot, dt, valid, blo, bhi, ray_chunk: int,
+                       chunk_live=None, interpret: bool = False):
+    """Exact packet cull + front-to-back page ordering, fused in ONE kernel.
+
+    MEASURED SLOWER than cull_mask_exact_pallas + XLA argsort on this
+    toolchain (~+40 ms/wave on teapot_2k, scripts/probe_r2f.py: the rank
+    block after the slab loop triples the kernel's runtime — XLA argsort on
+    the [NC, NP] keys is only ~4 ms).  Kept as a reference implementation;
+    the engine uses the split form.
+
+    Returns (counts [NC] int32, plist [NC, NPpad] int32, ptmin [NC, NPpad]
+    f32) — the trace kernel's page-list contract (plist rows list surviving
+    pages first, ordered by conservative entry distance; positions >= count
+    are meaningless; ptmin uses a finite BIG for misses).
+    """
+    RB = ray_chunk
+    R = ot.shape[1]
+    NC = R // RB
+    NP = blo.shape[0]
+    NPpad = -(-NP // 128) * 128
+
+    lo = jnp.zeros((NPpad, 128), F32).at[:NP, 0:3].set(blo.astype(F32))
+    hi = jnp.zeros((NPpad, 128), F32).at[:NP, 0:3].set(bhi.astype(F32))
+    lo = lo.at[:NP, 3].set(1.0)     # page-valid flag (padding stays 0)
+
+    if chunk_live is None:
+        chunk_live = jnp.ones((NC,), jnp.int32)
+    NC8 = -(-NC // 8) * 8
+    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+        chunk_live.astype(jnp.int32))
+    vrow = valid.astype(F32)[None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NPpad, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NPpad, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, NPpad), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, NPpad), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    cnt_f, plist_f, ptmin = pl.pallas_call(
+        _kernel_sorted,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NC8, 128), F32),
+            jax.ShapeDtypeStruct((NC8, NPpad), F32),
+            jax.ShapeDtypeStruct((NC8, NPpad), F32),
+        ],
+        interpret=interpret,
+    )(flags, ot.astype(F32), dt.astype(F32), vrow, lo, hi)
+
+    counts = cnt_f[:NC, 0].astype(jnp.int32)
+    plist = plist_f[:NC].astype(jnp.int32)
+    return counts, plist, ptmin[:NC]
+
+
 def _kernel(flags_ref, o_ref, d_ref, v_ref, lo_ref, hi_ref,
             mask_ref, tmin_ref):
     """One chunk vs all pages.  lo/hi: [NPpad, 128] VMEM (lanes 0..2 = xyz).

@@ -1,0 +1,298 @@
+"""Per-lane (per-ray) page traversal — the bounce-wave nearest-hit kernel.
+
+The chunk-union trace (ops/intersect_pallas.py) visits, for EVERY ray of a
+chunk, the union of all pages any chunk ray touches.  Primary-ray chunks are
+coherent camera tiles, so the union is tight (~5 pages); compacted BOUNCE
+chunks mix scattered directions and their unions approach the whole page set
+(~90 of 105 teapot pages -> ~5800 triangle tests per ray where each ray's own
+slab tests select only ~6 pages -> ~400 tests).
+
+This kernel gives each ray its PERSONAL page list, at the cost of per-lane
+dynamic indexing.  The enabling Mosaic fact (measured on-chip this round):
+`tpu.dynamic_gather` lowers iff the gathered dimension fits ONE vreg — 128
+lanes.  So the page axis is capped at 128 (NP <= 128; the engine picks the
+page size accordingly or falls back to the union kernel), the whole packed
+scene is kept VMEM-resident as a [rows, 128] PAGES-ON-LANES table, and rays
+are processed in groups of 128:
+
+  1. per-lane slab test of all 128 page AABBs ([pages, rays] tile, exactly
+     the packet cull's math at ray granularity);
+  2. rank the hits down the page axis (a one-hot lower-triangular matmul);
+  3. loop k = 0..max(count): each lane gathers its k-th page's entire
+     triangle table column ([17*P, 128] same-shape take_along_axis), runs
+     the standard incenter/half-plane predicate on [P, 128] tiles, and
+     folds a lexicographic (t, id) running best;
+  4. the winner's normal and material are extracted by ONE more gather of
+     the winner page plus an id-match masked reduction — no ray-scale
+     gathers, same output contract as the union kernel (rows ROW_*).
+
+The structural reference is the per-ray ordered worklist of the reference's
+GPU path (get_all_objects_for_ray, raytrace.rs:1052-1077; pages windowed at
+cuda_raytrace.rs:231-253) — rebuilt here with the octree replaced by flat
+Morton-page slab tests, which the round-1 cull evolution measured as
+equally tight for these scene sizes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pages import PACK_LANES, PageTables
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+BIG = 1e30
+
+GROUP = 128           # rays per gather group (= max gatherable lanes)
+N_INT = 17            # intersect features: n(3) s0..s2(9) nc(1) s*c(3) id(1)
+N_SHD = 7             # shade features: et kind color(3) alpha scat
+
+#: output rows (identical contract to ops.intersect_pallas)
+from .intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
+                               ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS)
+
+
+def build_perlane_tables(pages: PageTables):
+    """Rearrange PK [NP, P, 128] into pages-on-lanes gather tables.
+
+    Returns (PLT_I [N_INT*P, 128], PLT_S [N_SHD*P, 128], AB [128, 128]) as
+    numpy arrays; AB lanes 0..2 = page AABB lo, 3..5 = hi, 6 = page-valid.
+    Requires NP <= 128.
+    """
+    PK = pages.PK
+    NP, P, _ = PK.shape
+    assert NP <= GROUP, f"per-lane traversal needs NP <= 128, got {NP}"
+
+    def table(lane0, nf):
+        t = np.transpose(PK[:, :, lane0:lane0 + nf], (2, 1, 0))  # [nf, P, NP]
+        t = t.reshape(nf * P, NP)
+        out = np.zeros((nf * P, GROUP), np.float32)
+        out[:, :NP] = t
+        return out
+
+    plt_i = table(0, N_INT)
+    plt_s = table(N_INT, N_SHD)
+
+    ab = np.zeros((GROUP, PACK_LANES), np.float32)
+    ab[:NP, 0:3] = pages.aabb_lo
+    ab[:NP, 3:6] = pages.aabb_hi
+    ab[:NP, 6] = 1.0
+    return plt_i, plt_s, ab
+
+
+def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
+            plts_ref, out_ref, *, page_size: int, ray_chunk: int,
+            exclude_id: bool):
+    P = page_size
+    row = jax.lax.rem(pl.program_id(0), 8)
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(flags_ref[row, 0] != 0)
+    def _busy():
+        plt = plt_ref[:]                                 # [17P, 128]
+        plts = plts_ref[:]                               # [7P, 128]
+        sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+        lt = (sub_p > lane_i).astype(BF16)               # LT[p, p'<p]
+
+        for g in range(ray_chunk // GROUP):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            _group(plt, plts, sub_p, lt, o_ref[:, sl], d_ref[:, sl],
+                   a_ref[:, sl],
+                   excl_ref[:, sl] if exclude_id else None,
+                   ab_ref, out_ref, sl, P)
+
+
+def _group(plt, plts, sub_p, lt, o3, d3, a1, excl, ab_ref, out_ref, sl, P):
+    """Trace one 128-ray group against its per-lane page lists."""
+    valid = a1[0:1, :] != 0.0                            # [1, 128]
+
+    @pl.when(jnp.any(valid))
+    def _():
+        # 1. per-lane slab tests vs all page AABBs: [pages, rays]
+        tlo = None
+        thi = None
+        for k in range(3):
+            d_k = d3[k:k + 1, :]
+            inv = jnp.where(d_k != 0.0, 1.0 / d_k,
+                            jnp.where(d_k >= 0.0, F32(BIG), F32(-BIG)))
+            t1 = (ab_ref[:, k:k + 1] - o3[k:k + 1, :]) * inv
+            t2 = (ab_ref[:, k + 3:k + 4] - o3[k:k + 1, :]) * inv
+            alo = jnp.minimum(t1, t2)
+            ahi = jnp.maximum(t1, t2)
+            tlo = alo if tlo is None else jnp.maximum(tlo, alo)
+            thi = ahi if thi is None else jnp.minimum(thi, ahi)
+        page_ok = ab_ref[:, 6:7] != 0.0
+        hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok   # [128p, 128r]
+
+        # 2. rank hits down the page axis (exclusive prefix count)
+        hit_b = hit.astype(BF16)
+        rank = jax.lax.dot_general(lt, hit_b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=F32)  # [p, r]
+        cnt = jnp.sum(hit.astype(F32), axis=0)[None, :]         # [1, 128]
+        kmax = jnp.max(cnt).astype(jnp.int32)
+
+        page_f = sub_p[:, 0:1].astype(F32)               # [128, 1] page ids
+
+        o0, o1, o2 = (o3[k:k + 1, :] for k in range(3))
+        d0, d1, d2 = (d3[k:k + 1, :] for k in range(3))
+
+        def feat(G, f):
+            return G[f * P:(f + 1) * P, :]               # [P, 128]
+
+        def dot3(G, f0, r0, r1, r2):
+            return (feat(G, f0) * r0 + feat(G, f0 + 1) * r1
+                    + feat(G, f0 + 2) * r2)
+
+        def predicate(G, has):
+            md_n = dot3(G, 0, d0, d1, d2)
+            t = (feat(G, 12) - dot3(G, 0, o0, o1, o2)) / md_n
+            dv0 = dot3(G, 3, o0, o1, o2) + t * dot3(G, 3, d0, d1, d2) \
+                - feat(G, 13)
+            dv1 = dot3(G, 6, o0, o1, o2) + t * dot3(G, 6, d0, d1, d2) \
+                - feat(G, 14)
+            dv2 = dot3(G, 9, o0, o1, o2) + t * dot3(G, 9, d0, d1, d2) \
+                - feat(G, 15)
+            ids = feat(G, 16)
+            ok = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0) \
+                & has
+            if excl is not None:
+                ok = ok & (ids != excl[0:1, :])
+            return t, ok, ids, md_n, (dv0, dv1, dv2)
+
+        def body(carry):
+            k, best_t, best_id, best_pg = carry
+            selk = hit & (rank == k.astype(F32))         # [p, r] one-hot
+            page = jnp.sum(jnp.where(selk, page_f, 0.0), axis=0)[None, :]
+            has = (jnp.sum(selk.astype(F32), axis=0) > 0.0)[None, :]
+            idx = jnp.broadcast_to(page.astype(jnp.int32), plt.shape)
+            G = jnp.take_along_axis(plt, idx, axis=1)    # [17P, 128]
+
+            t, ok, ids, _, _ = predicate(G, has)
+            tt = jnp.where(ok, t, jnp.inf)
+            pmin = jnp.min(tt, axis=0, keepdims=True)
+            pid = jnp.min(jnp.where(tt == pmin, ids, jnp.inf), axis=0,
+                          keepdims=True)
+            upd = (pmin < best_t) | ((pmin == best_t) & ~jnp.isinf(pmin)
+                                     & (pid < best_id))
+            best_t = jnp.where(upd, pmin, best_t)
+            best_id = jnp.where(upd, pid, best_id)
+            best_pg = jnp.where(upd, page, best_pg)
+            return k + 1, best_t, best_id, best_pg
+
+        def cond(carry):
+            return carry[0] < kmax
+
+        init_t = jnp.where(valid, jnp.inf, -jnp.inf)
+        zero = jnp.zeros_like(init_t)
+        _, best_t, best_id, best_pg = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init_t, zero, zero))
+
+        # 3. winner extraction: one more gather of the winner page
+        hitl = best_id != 0.0                            # [1, 128]
+        idxw = jnp.broadcast_to(best_pg.astype(jnp.int32), plt.shape)
+        Gw = jnp.take_along_axis(plt, idxw, axis=1)
+        idxs = jnp.broadcast_to(best_pg.astype(jnp.int32), plts.shape)
+        Gs = jnp.take_along_axis(plts, idxs, axis=1)     # [7P, 128]
+
+        t, ok, ids, md_n, (dv0, dv1, dv2) = predicate(Gw, hitl)
+        win = (ids == best_id) & hitl                    # [P, 128] one-hot
+        wf = win.astype(F32)
+
+        def ext(v):
+            return jnp.sum(wf * v, axis=0, keepdims=True)
+
+        def featS(f):
+            return Gs[f * P:(f + 1) * P, :]
+
+        inv_et = 1.0 - featS(0)                          # 1 - edge_thickness
+        edge = (dv0 > inv_et) | (dv1 > inv_et) | (dv2 > inv_et)
+        back = md_n > 0.0
+        enc = featS(1) + 4.0 * edge.astype(F32) + 8.0 * back.astype(F32)
+
+        out_ref[ROW_T:ROW_T + 1, sl] = best_t
+        out_ref[ROW_ID:ROW_ID + 1, sl] = best_id
+        out_ref[ROW_NORM:ROW_NORM + 1, sl] = ext(feat(Gw, 0))
+        out_ref[ROW_NORM + 1:ROW_NORM + 2, sl] = ext(feat(Gw, 1))
+        out_ref[ROW_NORM + 2:ROW_NORM + 3, sl] = ext(feat(Gw, 2))
+        out_ref[ROW_ENC:ROW_ENC + 1, sl] = ext(enc)
+        out_ref[ROW_COLOR:ROW_COLOR + 1, sl] = ext(featS(2))
+        out_ref[ROW_COLOR + 1:ROW_COLOR + 2, sl] = ext(featS(3))
+        out_ref[ROW_COLOR + 2:ROW_COLOR + 3, sl] = ext(featS(4))
+        out_ref[ROW_ALPHA:ROW_ALPHA + 1, sl] = ext(featS(5))
+        out_ref[ROW_SCAT:ROW_SCAT + 1, sl] = ext(featS(6))
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
+                                             "interpret"))
+def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
+                         ray_chunk: int, chunk_live=None,
+                         interpret: bool = False, excl=None):
+    """Per-lane nearest hit + winner state.  Same output contract as
+    trace_chunks_pallas: OUT [16, R] (rows ROW_*).
+
+    OT, DT: [3, R]; alive: [R] bool-ish; plt_i/plt_s/ab from
+    build_perlane_tables (device arrays); chunk_live: optional [NC] skip
+    flags; excl: optional [1, R] excluded triangle id per ray.
+    """
+    RB = ray_chunk
+    R = OT.shape[1]
+    NC = R // RB
+
+    if chunk_live is None:
+        chunk_live = jnp.ones((NC,), jnp.int32)
+    NC8 = -(-NC // 8) * 8
+    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+        chunk_live.astype(jnp.int32))
+    arow = alive.astype(F32)[None, :]
+
+    exclude_id = excl is not None
+    in_specs = [
+        pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [flags, OT.astype(F32), DT.astype(F32), arow]
+    if exclude_id:
+        in_specs.append(pl.BlockSpec((1, RB), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(excl.astype(F32))
+    else:
+        # placeholder so the kernel signature stays fixed
+        in_specs.append(pl.BlockSpec((1, RB), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(arow)
+    in_specs += [
+        pl.BlockSpec((GROUP, PACK_LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_INT * page_size, GROUP), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_SHD * page_size, GROUP), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [ab, plt_i, plt_s]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, page_size=page_size, ray_chunk=RB,
+                          exclude_id=exclude_id),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
+        interpret=interpret,
+    )(*args)[0]
+    return out

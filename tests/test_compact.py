@@ -116,3 +116,82 @@ def test_empty_and_full_chunks():
         jnp.asarray(st), jnp.asarray(dead_arr), meta, cb=cb, interpret=True)
     np.testing.assert_array_equal(np.asarray(new_state), exp_state)
     np.testing.assert_array_equal(np.asarray(new_dead), exp_dead)
+
+
+def make_state_buckets(rng, R, alive_p=0.4, dead_p=0.3, n_oct=2):
+    """n_oct limits the octant spread: 128-alignment per (chunk, bucket)
+    means small test arrays overflow with all 8 octants present (the engine
+    skips compaction on overflow — the kernel is never invoked then, so
+    tests construct non-overflowing cases)."""
+    st, alive, dead = make_state(rng, R, alive_p, dead_p)
+    oct_ = rng.integers(0, n_oct, size=R)
+    code = np.zeros(R, dtype=F32)
+    code[alive] = 2.0 + oct_[alive]
+    code[dead] = 1.0
+    st[C.ROW_CODE] = code
+    return st, alive, dead, code
+
+
+def test_bucketed_overflow_detected():
+    """All 8 octants on a tiny array: padding must exceed R and be flagged."""
+    rng = np.random.default_rng(5)
+    R = 256 * 6
+    st, alive, dead, code = make_state_buckets(rng, R, n_oct=8)
+    meta, total_a, overflow, dead_end = C.compact_meta_buckets(
+        jnp.asarray(code), 256, jnp.int32(0), R)
+    assert bool(overflow)
+
+
+@pytest.mark.parametrize("cb,R", [(256, 256 * 6), (512, 512 * 3)])
+def test_bucketed_forward_matches_oracle(cb, R):
+    rng = np.random.default_rng(5)
+    st, alive, dead, code = make_state_buckets(rng, R)
+    dead_arr = np.zeros((8, C.dead_capacity(R)), dtype=F32)
+    dead_base = 256
+
+    exp_state, exp_dead, exp_meta, total_a, overflow, dead_end = \
+        C.compact_oracle_buckets(st, dead_arr, cb, dead_base)
+    meta, total_a_j, overflow_j, dead_end_j = C.compact_meta_buckets(
+        jnp.asarray(code), cb, jnp.int32(dead_base), R)
+    np.testing.assert_array_equal(np.asarray(meta), exp_meta)
+    assert int(total_a_j) == total_a
+    assert bool(overflow_j) == overflow
+    assert int(dead_end_j) == dead_end
+
+    new_state, new_dead = C.compact_pallas_buckets(
+        jnp.asarray(st), jnp.asarray(dead_arr), meta, cb=cb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(new_state), exp_state)
+    np.testing.assert_array_equal(np.asarray(new_dead), exp_dead)
+    # survivors are bucket-major: codes in the prefix are non-decreasing
+    # (ignoring zero gaps)
+    out_code = np.asarray(new_state)[C.ROW_CODE]
+    nz = out_code[out_code > 1.0]
+    assert (np.diff(nz) >= 0).all()
+
+
+def test_bucketed_roundtrip_expand():
+    cb, R = 256, 256 * 7
+    rng = np.random.default_rng(9)
+    st, alive, dead, code = make_state_buckets(rng, R, alive_p=0.3,
+                                               dead_p=0.4)
+    dead_arr = jnp.zeros((8, C.dead_capacity(R)), dtype=F32)
+    meta, total_a, overflow, dead_end = C.compact_meta_buckets(
+        jnp.asarray(code), cb, jnp.int32(0), R)
+    assert not bool(overflow)
+    new_state, new_dead = C.compact_pallas_buckets(
+        jnp.asarray(st), dead_arr, meta, cb=cb, interpret=True)
+
+    y = np.asarray(new_state)[C.ROW_ACC:C.ROW_ACC + 8]
+    code_row = jnp.asarray(code)[None, :]
+    out = np.asarray(C.expand_pallas_buckets(
+        jnp.asarray(y), new_dead, code_row, meta, cb=cb, interpret=True))
+
+    exp = C.expand_oracle_buckets(y, np.asarray(new_dead), code,
+                                  np.asarray(meta), cb)
+    np.testing.assert_array_equal(out, exp)
+    np.testing.assert_array_equal(out[:, alive],
+                                  st[C.ROW_ACC:C.ROW_ACC + 8][:, alive])
+    np.testing.assert_array_equal(out[:, dead],
+                                  st[C.ROW_ACC:C.ROW_ACC + 8][:, dead])
+    gap = ~(alive | dead)
+    assert (out[:, gap] == 0).all()
