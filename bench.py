@@ -77,7 +77,8 @@ def main():
                 eng.tensors, eng.aabb_lo, eng.aabb_hi, ob, d, alive, k,
                 maxdepth=vp.maxdepth, ray_chunk=rb, page_size=page_size,
                 fixed_rng=False, interpret=False, want_primary=False,
-                quantize=True, weight_cutoff=1 / 512, pk0=pk0, nbuf=eng.nbuf)
+                quantize=True, weight_cutoff=1 / 512, pk0=pk0, nbuf=eng.nbuf,
+                plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab)
             return img, wc
 
         img, wc = dev_render(key)

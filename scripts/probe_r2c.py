@@ -41,6 +41,7 @@ def main():
                 maxdepth=5, ray_chunk=rb, page_size=64, fixed_rng=False,
                 interpret=False, want_primary=False, quantize=True,
                 weight_cutoff=1 / 512, pk0=pk0, nbuf=4,
+                plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
                 profile_skip=skips)
             return img
         out = f(jax.random.PRNGKey(9))
@@ -55,8 +56,7 @@ def main():
 
     base = bench(())
     print(f"full: {base*1e3:.1f} ms", flush=True)
-    for skips in (("expand",), ("expand", "compact"), ("trace",),
-                  ("argsort",)):
+    for skips in (("expand",), ("expand", "compact"), ("trace",)):
         t = bench(skips)
         print(f"skip {skips}: {t*1e3:.1f} ms  (delta {((base-t))*1e3:+.1f})",
               flush=True)
