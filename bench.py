@@ -73,7 +73,7 @@ def main():
         pk0 = eng._pk0_cache.get(cam_key)
 
         def dev_render(k):
-            img, wc, _ = _render_device_compact(
+            img, wc, _, _ = _render_device_compact(
                 eng.tensors, eng.aabb_lo, eng.aabb_hi, ob, d, alive, k,
                 maxdepth=vp.maxdepth, ray_chunk=rb, page_size=page_size,
                 fixed_rng=False, interpret=False, want_primary=False,

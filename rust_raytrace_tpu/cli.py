@@ -80,13 +80,28 @@ def run_render(backend_name, scene, vp, args, key_seed=0):
     if backend_name == "oracle":
         t0 = time.perf_counter()
         stats = oracle.OracleStats()
+        debug_ctx = octree = None
+        if args.debug_csv is not None:
+            # record per-ray candidate sets from an octree walk
+            # (raytrace.rs:1018-1021) for the differ
+            from .octree import build_bounding_box
+            from .utils.raydebug import DebugCtx
+            corners = scene.tris.corners[1:].reshape(-1, 3)
+            center = (corners.min(axis=0) + corners.max(axis=0)) / 2
+            len2 = float((corners.max(axis=0) - corners.min(axis=0)).max())
+            octree = build_bounding_box(scene.tris, center, len2 + 0.1,
+                                        maxdepth=10, minobjs=19)
+            debug_ctx = DebugCtx()
         img = oracle.render(scene.tris, vp, rng=oracle.NumpyRng(key_seed),
-                            stats=stats)
+                            stats=stats, debug_ctx=debug_ctx, octree=octree)
         seconds = time.perf_counter() - t0
         from .render import RenderResult
-        return RenderResult(image=img, rays_traced=stats.rays,
-                            wave_rays=np.asarray([stats.rays]),
-                            primary_t=None, primary_id=None, seconds=seconds)
+        result = RenderResult(image=img, rays_traced=stats.rays,
+                              wave_rays=np.asarray([stats.rays]),
+                              primary_t=None, primary_id=None,
+                              seconds=seconds)
+        result.debug_ctx = debug_ctx
+        return result
     import jax
 
     r = make_renderer(backend_name, scene, args)
@@ -135,10 +150,17 @@ def cmd_diff(args):
     print(f"image rmse: {np.sqrt((img_diff ** 2).mean()):.6f}  "
           f"max: {img_diff.max():.6f}")
 
-    if ra.primary_id is not None and rb.primary_id is not None:
-        from .utils.raydebug import from_render_result
-        ctx_a = from_render_result(ra, vp)
-        ctx_b = from_render_result(rb, vp)
+    from .utils.raydebug import from_render_result
+
+    def ctx_of(r):
+        if getattr(r, "debug_ctx", None) is not None:
+            return r.debug_ctx
+        if r.primary_id is not None:
+            return from_render_result(r, vp)
+        return None
+
+    ctx_a, ctx_b = ctx_of(ra), ctx_of(rb)
+    if ctx_a is not None and ctx_b is not None:
         err = ctx_a.compare_to(ctx_b, sys.stdout)
         return 1 if err else 0
     return 0

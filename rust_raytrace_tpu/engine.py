@@ -409,11 +409,18 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     final image is reassembled by reversing the per-wave permutations on
     device (no ray-scale gathers, no host bookkeeping).
 
-    Returns (img [3, R] u8/f32 in ORIGINAL tile order, wave_counts, primary).
+    Returns (img [3, R] u8/f32 in ORIGINAL tile order, wave_counts, primary,
+    cull0 — the wave-0 (counts, plist) candidate buffers when want_primary).
     """
     R = o.shape[1]
     RB = ray_chunk
     NC = R // RB
+    # compaction chunk must divide R and be a multiple of the 128-lane
+    # DMA alignment; shrink it for small/odd ray counts
+    assert R % 128 == 0, f"ray count {R} must be a multiple of 128"
+    while R % cb:
+        cb //= 2
+    cb = max(cb, 128)
 
     state = jnp.zeros((STATE_ROWS, R), dtype=F32)
     state = state.at[0:3].set(o).at[3:6].set(d)
@@ -426,6 +433,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
 
     wave_counts = []
     primary = None
+    cull0 = None
     metas, masks_list, oflows = [], [], []
 
     for wave in range(maxdepth):
@@ -473,6 +481,10 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                                            interpret=interpret, nbuf=nbuf)
         if wave == 0 and want_primary:
             primary = rows[ROW_T:ROW_ID + 1]
+            if "trace" not in profile_skip:
+                # primary candidate sets for the ray differ
+                # (debug.rs:180-205): each chunk's surviving page list
+                cull0 = (counts, plist)
 
         if fixed_rng:
             rv = jnp.broadcast_to(
@@ -544,7 +556,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     img = y[0:3]
     if quantize:
         img = _quantize_u8(img)
-    return img, jnp.stack(wave_counts), primary
+    return img, jnp.stack(wave_counts), primary, cull0
 
 
 
@@ -562,9 +574,18 @@ class Engine(RayCaster):
                  ray_chunk: int = 1024, interpret: bool = False,
                  pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
                  bounce_chunk: int = 0, nbuf: int = 4,
-                 exact_cull: bool = True, compact: bool = True):
+                 exact_cull: bool = True, compact: bool = True,
+                 auto_pages: bool = True):
         self.exact_cull = exact_cull
         self.compact = compact
+        if auto_pages:
+            # Per-lane bounce traversal gathers pages along lanes, which
+            # Mosaic caps at one vreg = 128 pages; bump the page size so the
+            # scene fits (coarser pages cost more tests/ray but far less
+            # than falling back to chunk-union bounces).
+            n = max(len(scene.tris) - 1, 1)
+            while -(-n // page_size) > 128:
+                page_size += 8
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
         self.bounce_chunk = bounce_chunk
@@ -611,7 +632,9 @@ class Engine(RayCaster):
 
         tile = pick_tile(v.width, v.height)
         R0 = v.height * v.width * spp
-        R = -(-R0 // RB) * RB
+        # pad to the chunk size AND the 128-lane DMA alignment (compaction)
+        quantum = max(RB, 128)
+        R = -(-R0 // quantum) * quantum
         quant = quantize and (R % spp == 0)
 
         o, d = _camera_rays_tiled(
@@ -639,8 +662,9 @@ class Engine(RayCaster):
 
         lights = self.scene.lights
         use_compact = self.compact and spp == 1 and self.exact_cull
+        cull0 = None
         if use_compact:
-            img_dev, wave_counts, primary = _render_device_compact(
+            img_dev, wave_counts, primary, cull0 = _render_device_compact(
                 self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
                 maxdepth=v.maxdepth, ray_chunk=RB, page_size=self.page_size,
                 fixed_rng=fixed_rng, interpret=self.interpret,
@@ -687,7 +711,7 @@ class Engine(RayCaster):
             else:
                 img = img.reshape(v.height, v.width, 3)
 
-        pt = pid = None
+        pt = pid = primary_chunk = chunk_tris = None
         if debug:
             primary_h = np.asarray(primary)[:, :R0]
             pt = np.empty(R0, dtype=np.float32)
@@ -697,13 +721,30 @@ class Engine(RayCaster):
             shape = (v.height, v.width, spp) if spp > 1 else (v.height, v.width)
             pt = pt.reshape(shape)
             pid = pid.reshape(shape)
+            if cull0 is not None and spp == 1:
+                # per-pixel candidate sets: pixel -> primary chunk ->
+                # surviving pages -> triangle ids (the reference records the
+                # same sets inside its traversal, raytrace.rs:1018-1021)
+                counts_h = np.asarray(cull0[0])
+                plist_h = np.asarray(cull0[1])
+                from .ops.pages import LANE_ID
+                page_ids = self.pages.PK[:, :, LANE_ID].astype(np.int64)
+                chunk_tris = []
+                for c in range(counts_h.shape[0]):
+                    pgs = plist_h[c, :counts_h[c]]
+                    ids = page_ids[pgs].ravel()
+                    chunk_tris.append(np.unique(ids[ids > 0]))
+                qpos = np.empty(R0, dtype=np.int64)
+                qpos[perm] = np.arange(R0)
+                primary_chunk = (qpos // RB).reshape(v.height, v.width)
 
         wave_counts = np.asarray(wave_counts)
         seconds = time.perf_counter() - t0
         result = RenderResult(
             image=img, rays_traced=int(wave_counts.sum()),
             wave_rays=wave_counts, primary_t=pt, primary_id=pid,
-            seconds=seconds)
+            seconds=seconds, primary_chunk=primary_chunk,
+            chunk_tris=chunk_tris)
         if progress is not None:
             progress.update_wavefront(result)
         return result

@@ -10,8 +10,9 @@ Mirrors `raytrace_lib/src/obj_parser.rs:20-73`:
     (obj_parser.rs:64-66).
 
 As a flagged extension beyond the reference (whose teapot.mtl is empty and
-ignored), `parse_mtl`/`parse_obj_with_mtl` implement minimal MTL material
-support (Kd diffuse -> Matte) for the BASELINE "MTL materials" config.
+ignored), `parse_mtl`/`parse_obj_with_mtl` implement MTL material support
+(Kd/Ks/Ns/d/illum -> Matte or Reflective, mapping documented on parse_mtl)
+for the BASELINE "MTL materials" config.
 """
 
 import os
@@ -21,7 +22,7 @@ import numpy as np
 
 from . import math3d as m3
 from .geometry import TriangleArrays, make_triangles
-from .materials import MaterialTable, Surface, matte
+from .materials import MaterialTable, Surface, matte, reflective
 
 F32 = np.float32
 
@@ -61,20 +62,53 @@ def parse_obj(path: str, offset, scale: float, transform, surface: Surface,
 
 
 def parse_mtl(path: str) -> Dict[str, Surface]:
-    """Minimal MTL parser (extension; reference ignores its empty teapot.mtl).
+    """MTL parser (extension; the reference ignores its empty teapot.mtl).
 
-    Supports `newmtl` + `Kd` (diffuse color -> Matte with alpha 0.2, the
-    reference teapot's shading model) and optional `d`/`Ns` pass-through into
-    alpha/scattering-free Matte surfaces.
+    Statement directives and their mapping onto the reference's surface
+    model (SurfaceKind, raytrace.rs:303-308 — there is no transmission or
+    microfacet model to map to, so the mapping is documented and tested
+    rather than physically exact):
+
+      newmtl        starts a material
+      Kd r g b      surface color
+      Ks r g b      max(Ks) > 1e-3 selects Reflective (mirror-like);
+                    the bounce mix weight alpha = clamp(mean(Ks), 0, 1)
+      Ns s          shininess -> Reflective fuzz: scattering = 1/(1+sqrt(Ns))
+                    (Ns 0 -> fully fuzzy 1.0; Ns 900 -> near-mirror 0.032)
+      d a           dissolve scales the bounce weight (no transmission
+                    support: a translucent surface bounces more, like the
+                    reference's alpha): Matte alpha = 0.2 * d,
+                    Reflective alpha *= d
+      illum n       n >= 3 also selects Reflective (ray-traced highlights)
+
+    Unknown directives are ignored, matching the reference parser's
+    only-`v`/`f` tolerance (obj_parser.rs:20-73).
     """
     materials: Dict[str, Surface] = {}
     name: Optional[str] = None
-    kd = np.asarray([1.0, 1.0, 1.0], dtype=F32)
-    alpha = 0.2
+
+    def fresh():
+        return {
+            "kd": np.asarray([1.0, 1.0, 1.0], dtype=F32),
+            "ks": np.zeros(3, dtype=F32),
+            "ns": 0.0,
+            "d": 1.0,
+            "illum": 2,
+        }
+
+    cur = fresh()
 
     def flush():
-        if name is not None:
-            materials[name] = matte(kd, alpha)
+        if name is None:
+            return
+        reflective_sel = float(cur["ks"].max()) > 1e-3 or cur["illum"] >= 3
+        if reflective_sel:
+            scattering = 1.0 / (1.0 + float(np.sqrt(cur["ns"])))
+            alpha = float(np.clip(cur["ks"].mean(), 0.0, 1.0)) * cur["d"]
+            materials[name] = reflective(cur["kd"], max(alpha, 1e-3),
+                                         scattering)
+        else:
+            materials[name] = matte(cur["kd"], 0.2 * cur["d"])
 
     with open(path, "r") as f:
         for line in f:
@@ -84,10 +118,19 @@ def parse_mtl(path: str) -> Dict[str, Surface]:
             if tok[0] == "newmtl":
                 flush()
                 name = tok[1]
-                kd = np.asarray([1.0, 1.0, 1.0], dtype=F32)
-                alpha = 0.2
+                cur = fresh()
             elif tok[0] == "Kd":
-                kd = np.asarray([float(t) for t in tok[1:4]], dtype=F32)
+                cur["kd"] = np.asarray([float(t) for t in tok[1:4]],
+                                       dtype=F32)
+            elif tok[0] == "Ks":
+                cur["ks"] = np.asarray([float(t) for t in tok[1:4]],
+                                       dtype=F32)
+            elif tok[0] == "Ns":
+                cur["ns"] = float(tok[1])
+            elif tok[0] == "d":
+                cur["d"] = float(tok[1])
+            elif tok[0] == "illum":
+                cur["illum"] = int(float(tok[1]))
     flush()
     return materials
 

@@ -169,19 +169,26 @@ def is_shadowed(tris: TriangleArrays, light, point, norm_f, self_idx: int,
 
 def project_ray(tris: TriangleArrays, orig, d, depth: int, rng,
                 stats: Optional[OracleStats] = None,
-                debug_ctx=None, lights=None) -> np.ndarray:
+                debug_ctx=None, lights=None, octree=None) -> np.ndarray:
     """Recursive integrator (`project_ray`, raytrace.rs:1256-1295).
 
     depth==0 -> black (checked before anything else, raytrace.rs:1261-1263);
     miss -> sky blue; hit -> `color_ray` dispatch (raytrace.rs:1199-1254).
     `lights` enables the shadow-ray extension (the commented-out design at
     raytrace.rs:1203-1224): a shadowed hit contributes black instead of its
-    surface color.
+    surface color.  `octree` (with debug_ctx) records each visited leaf's
+    candidate-triangle list into the trace, exactly where the reference's
+    traversal does (raytrace.rs:1018-1021) — the set the differ uses to
+    classify mismatches as traversal-vs-intersection bugs.
     """
     if depth == 0:
         return BLACK.copy()
     if debug_ctx is not None:
         debug_ctx.add_ray(orig, d)
+        if octree is not None:
+            from .octree import get_all_objects_for_ray
+            for tri_list in get_all_objects_for_ray(octree, orig, d).values():
+                debug_ctx.update_ray_triangles(orig, tri_list)
     if stats is not None:
         stats.rays += 1
 
@@ -220,15 +227,19 @@ def project_ray(tris: TriangleArrays, orig, d, depth: int, rng,
         raise ValueError(f"bad material kind {kind}")
 
     bounce = project_ray(tris, norig, nd, depth - 1, rng, stats, debug_ctx,
-                         lights)
+                         lights, octree)
     return m3.mix_color(color, bounce, alpha)
 
 
 def render(tris: TriangleArrays, v: Viewport, rng=None,
            stats: Optional[OracleStats] = None,
-           debug_ctx=None, lights=None) -> np.ndarray:
+           debug_ctx=None, lights=None, octree=None) -> np.ndarray:
     """Render [H, W, 3] with the recursive oracle (walk_ray_set semantics,
-    raytrace.rs:1396-1440; box-filter average over samples at :1426)."""
+    raytrace.rs:1396-1440; box-filter average over samples at :1426).
+
+    With `debug_ctx` and `octree`, each ray's candidate-triangle sets are
+    recorded from the octree walk (raytrace.rs:1018-1021) for the differ.
+    """
     rng = rng or FixedRng()
     img = np.zeros((v.height, v.width, 3), dtype=F32)
     for row in range(v.height):
@@ -245,6 +256,6 @@ def render(tris: TriangleArrays, v: Viewport, rng=None,
                 if debug_ctx is not None:
                     debug_ctx.register_ray(o, (row, col))
                 acc += project_ray(tris, o, d, v.maxdepth, rng, stats,
-                                   debug_ctx, lights)
+                                   debug_ctx, lights, octree)
             img[row, col] = acc * (F32(1.0) / F32(v.samples_per_pixel))
     return img

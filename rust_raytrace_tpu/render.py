@@ -227,6 +227,11 @@ class RenderResult:
     primary_t: np.ndarray      # [H, W(,S)] primary hit times (debug buffer)
     primary_id: np.ndarray     # [H, W(,S)] primary hit ids (0 = miss)
     seconds: float = 0.0
+    # candidate-set debug buffers (engine debug renders): per-pixel primary
+    # chunk index + per-chunk surviving-triangle-id lists (debug.rs's
+    # check_tris, recorded from the packet cull instead of an octree walk)
+    primary_chunk: np.ndarray = None   # [H, W] int or None
+    chunk_tris: list = None            # [NC] arrays of tri ids or None
 
     @property
     def mrays_per_sec(self) -> float:

@@ -136,10 +136,13 @@ def from_render_result(result, viewport) -> DebugCtx:
     """Build a DebugCtx from a wavefront render's primary debug buffers.
 
     Requires the render to have been made with debug=True (engine) or any
-    render.WavefrontRenderer render (buffers always present there).  Candidate
-    sets are left empty — the wavefront path has no per-ray candidate lists
-    (culling is chunk-granular); the differ's set-membership classification is
-    then only meaningful in the other direction.
+    render.WavefrontRenderer render (buffers always present there).  When the
+    result carries candidate buffers (engine debug renders: primary_chunk +
+    chunk_tris, from the packet cull's surviving page lists), each pixel's
+    check_tris is its chunk's triangle set — the wavefront analog of the
+    reference's per-leaf recording (raytrace.rs:1018-1021,
+    cuda_raytrace.rs:368-373), enabling the differ's
+    traversal-vs-intersection classification in both directions.
     """
     from ..camera import pixel_rays
 
@@ -151,12 +154,16 @@ def from_render_result(result, viewport) -> DebugCtx:
     if pid.ndim == 3:      # spp > 1: use sample 0
         pid = pid[..., 0]
         pt = pt[..., 0]
+    pchunk = getattr(result, "primary_chunk", None)
+    ctris = getattr(result, "chunk_tris", None)
     h, w = pid.shape
     for row in range(h):
         for col in range(w):
             o, d = pixel_rays(viewport, np.asarray(row), np.asarray(col))
             ctx.register_ray(o, (row, col))
             ctx.add_ray(o, d)
+            if pchunk is not None and ctris is not None:
+                ctx.update_ray_triangles(o, ctris[int(pchunk[row, col])])
             hit = int(pid[row, col])
             if hit != 0:
                 t = float(pt[row, col])

@@ -48,7 +48,7 @@ def main():
     prev = None
     for md in (1, 2, 3, 4, 5):
         def f(k, md=md):
-            img, wc, _ = _render_device_compact(
+            img, wc, _, _ = _render_device_compact(
                 eng.tensors, eng.aabb_lo, eng.aabb_hi, ob, d, alive, k,
                 maxdepth=md, ray_chunk=rb, page_size=64, fixed_rng=False,
                 interpret=False, want_primary=False, quantize=True,
@@ -60,7 +60,7 @@ def main():
         prev = t
 
     # wave-count stats for context
-    img, wc, _ = _render_device_compact(
+    img, wc, _, _ = _render_device_compact(
         eng.tensors, eng.aabb_lo, eng.aabb_hi, ob, d, alive,
         jax.random.PRNGKey(0), maxdepth=5, ray_chunk=rb, page_size=64,
         fixed_rng=False, interpret=False, want_primary=False, quantize=True,

@@ -36,7 +36,7 @@ def main():
 
     def bench(skips, n=3):
         def f(k):
-            img, wc, _ = _render_device_compact(
+            img, wc, _, _ = _render_device_compact(
                 eng.tensors, eng.aabb_lo, eng.aabb_hi, ob, d, alive, k,
                 maxdepth=5, ray_chunk=rb, page_size=64, fixed_rng=False,
                 interpret=False, want_primary=False, quantize=True,

@@ -93,3 +93,65 @@ def test_mtl_extension(tmp_path):
                                rtol=1e-6)
     np.testing.assert_allclose(tris.materials.color[1], [0.1, 0.1, 0.9],
                                rtol=1e-6)
+
+
+def test_mtl_specular_mapping():
+    """Ks/Ns/d/illum -> Reflective mapping (documented on parse_mtl)."""
+    import os
+
+    from rust_raytrace_tpu.materials import (KIND_MATTE, KIND_REFLECTIVE)
+
+    assets = os.path.join(os.path.dirname(__file__), "assets")
+    mats = parse_mtl(os.path.join(assets, "two_mats.mtl"))
+    assert set(mats) == {"red_matte", "mirror"}
+
+    rm = mats["red_matte"]
+    assert rm.kind == KIND_MATTE
+    np.testing.assert_allclose(rm.color, [0.8, 0.1, 0.1], rtol=1e-6)
+    assert abs(rm.alpha - 0.2 * 0.5) < 1e-6       # d scales the bounce
+
+    mi = mats["mirror"]
+    assert mi.kind == KIND_REFLECTIVE
+    assert abs(mi.scattering - 1.0 / 21.0) < 1e-6  # Ns=400 -> 1/(1+20)
+    assert abs(mi.alpha - 0.6) < 1e-6              # mean(Ks) * d
+
+    tris = parse_obj_with_mtl(
+        os.path.join(assets, "two_mats.obj"), offset=(0, 0, 0), scale=1.0,
+        transform=np.eye(3, dtype=np.float32),
+        default_surface=__import__(
+            "rust_raytrace_tpu.materials", fromlist=["matte"]).matte(
+                np.asarray([1, 1, 1], np.float32), 0.2),
+        edge_thickness=0.0)
+    assert tris.materials.kind[0] == KIND_MATTE
+    assert tris.materials.kind[1] == KIND_REFLECTIVE
+
+
+def test_mtl_scene_renders_reflection():
+    """A Reflective MTL surface must actually bounce (engine + oracle)."""
+    import os
+
+    from rust_raytrace_tpu import math3d as m3
+    from rust_raytrace_tpu import oracle
+    from rust_raytrace_tpu.camera import create_viewport
+    from rust_raytrace_tpu.engine import Engine
+    from rust_raytrace_tpu.scene import assemble
+
+    assets = os.path.join(os.path.dirname(__file__), "assets")
+    from rust_raytrace_tpu.materials import matte
+    tris = parse_obj_with_mtl(
+        os.path.join(assets, "two_mats.obj"), offset=(0, 0, 0), scale=1.0,
+        transform=np.eye(3, dtype=np.float32),
+        default_surface=matte(np.asarray([1, 1, 1], np.float32), 0.2),
+        edge_thickness=0.0)
+    scene = assemble([tris])
+    vp = create_viewport((32, 32), (1.0, 1.0), (0.0, 0.0, 0.0),
+                         m3.unit(m3.vec(0.0, -0.35, 1.0)), 90.0, 0.0, 3, 1)
+    img_o = oracle.render(scene.tris, vp, rng=oracle.FixedRng())
+    eng = Engine(scene, page_size=8, ray_chunk=128, interpret=True)
+    res = eng.render(vp, fixed_rng=True, quantize=False)
+    diff = np.abs(res.image - img_o).max(axis=-1)
+    assert (diff > 1 / 255).mean() < 0.01
+    # the mirror triangle reflects the red triangle above: some pixels on
+    # the lower triangle must carry red-dominant bounced color
+    hit_any = res.image.sum(axis=-1) > 0
+    assert hit_any.any()
