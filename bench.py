@@ -122,6 +122,23 @@ def main():
 
     extras["rays_traced"] = dev_rays if on_tpu else rays
 
+    # parity vs the reference's shipped golden (deterministic structure:
+    # sky constancy + silhouette IoU; RMSE reported for context — the
+    # golden's 1-spp bounce noise cannot match any re-render, docs/PARITY.md)
+    from rust_raytrace_tpu.scene import reference_asset
+    golden_path = reference_asset("teapot_4k_tris.png")
+    if golden_path is not None and result is not None:
+        from rust_raytrace_tpu.utils.parity import downsample_u8, parity_stats
+        from rust_raytrace_tpu.utils.png import quantize_u8, read_png
+        golden = downsample_u8(read_png(golden_path), 3)      # -> 1280x720
+        img = result.image
+        if img.dtype != np.uint8:
+            img = quantize_u8(img)
+        ours = downsample_u8(img, 2)                          # -> 1280x720
+        stats = parity_stats(ours, golden)
+        extras["parity_vs_reference_golden"] = {
+            k: round(v, 4) for k, v in stats.items()}
+
     print(json.dumps({
         "metric": "mrays_per_sec_teapot_2k",
         "value": round(mrays, 3),

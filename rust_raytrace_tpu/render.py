@@ -315,6 +315,14 @@ class WavefrontRenderer(RayCaster):
                                 ray_chunk=self.ray_chunk, fixed_rng=fixed_rng)
             colors_parts.append(c)
             aux_parts.append(aux)
+            if progress is not None and n_slabs > 1:
+                # per-slab live progress (the reference's per-row channel
+                # reports, raytrace.rs:1429; flushed every 10k rays there)
+                wr = np.asarray(aux["wave_rays"])
+                progress.update((hi - lo) // spp,
+                                {"Rays": int(wr.sum())})
+                for i, n in enumerate(wr):
+                    progress._stat(f"Wave{i}Rays", "count").add(int(n))
 
         colors = np.concatenate([np.asarray(c) for c in colors_parts])[:R]
         aux = {
@@ -341,7 +349,8 @@ class WavefrontRenderer(RayCaster):
         result = RenderResult(
             image=img, rays_traced=int(wave_rays.sum()), wave_rays=wave_rays,
             primary_t=pt, primary_id=pid, seconds=seconds)
-        if progress is not None:
+        if progress is not None and n_slabs == 1:
+            # (with multiple slabs the per-slab loop already reported)
             progress.update_wavefront(result)
         return result
 

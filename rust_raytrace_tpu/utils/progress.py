@@ -2,10 +2,16 @@
 
 The reference keeps a named-stat registry of `Time` / `Count` values fed from
 worker threads over an mpsc channel, renders a live terminal dashboard
-(alternate screen, per-thread rows), and prints a final report whose headline
-is million rays per second (progress.rs:157-162).  Here stats are fed per
-WAVEFRONT (the unit of progress in a batched renderer) rather than per row,
-and the terminal UI uses ANSI escapes directly.
+(alternate screen via crossterm, per-thread current-row lines, ETA,
+cumulative Mrays/s — progress.rs:69-142), and prints a final report whose
+headline is million rays per second (progress.rs:157-162).
+
+Here stats are fed per WAVEFRONT or per SLAB (the units of progress in a
+batched renderer) rather than per row; the per-thread rows become per-wave
+live-ray rows.  Two terminal modes:
+  - dashboard (default on a TTY): alternate screen, multi-row live view
+    with ETA — the crossterm UI rebuilt on raw ANSI escapes;
+  - line: a single overwriting status line (non-TTY-safe).
 """
 
 import sys
@@ -32,11 +38,13 @@ class ProgressCtx:
     width: int = 0
     height: int = 0
     enable_io: bool = False
+    dashboard: bool = False      # alternate-screen UI (progress.rs:69-142)
     start_time: float = field(default_factory=time.perf_counter)
     stop_time: float = 0.0
     runtimes: Dict[str, ProgressStat] = field(default_factory=dict)
     finished_pixels: int = 0
     total_rays: int = 0
+    _alt_screen: bool = field(default=False, repr=False)
 
     def _stat(self, name: str, kind: str) -> ProgressStat:
         if name not in self.runtimes:
@@ -55,16 +63,53 @@ class ProgressCtx:
             self._stat(k, kind).add(v)
 
         if self.enable_io:
-            total = max(1, self.width * self.height)
-            frac = self.finished_pixels / total
-            rate = self.total_rays / max(elapsed, 1e-9) / 1e6
-            sys.stdout.write(
-                "\r\x1b[2K"
-                f"Run time: {int(elapsed) // 60}:{int(elapsed) % 60:02d} "
-                f"Completed: {self.finished_pixels}/{total} "
-                f"{frac * 100.0:.2f}%  "
-                f"Rays: {self.total_rays / 1e6:.3f}M {rate:.3f} Mrays/s")
-            sys.stdout.flush()
+            if self.dashboard:
+                self._draw_dashboard(elapsed)
+            else:
+                total = max(1, self.width * self.height)
+                frac = self.finished_pixels / total
+                rate = self.total_rays / max(elapsed, 1e-9) / 1e6
+                sys.stdout.write(
+                    "\r\x1b[2K"
+                    f"Run time: {int(elapsed) // 60}:{int(elapsed) % 60:02d} "
+                    f"Completed: {self.finished_pixels}/{total} "
+                    f"{frac * 100.0:.2f}%  "
+                    f"Rays: {self.total_rays / 1e6:.3f}M {rate:.3f} Mrays/s")
+                sys.stdout.flush()
+
+    def _draw_dashboard(self, elapsed: float):
+        """Alternate-screen multi-row live view (progress.rs:95-142): runtime,
+        ETA, pixel progress, cumulative Mrays/s, and per-wave live-ray rows
+        (the per-worker current-row lines of the threaded reference)."""
+        w = sys.stdout
+        if not self._alt_screen:
+            w.write("\x1b[?1049h\x1b[?25l")     # alt screen + hide cursor
+            self._alt_screen = True
+        total = max(1, self.width * self.height)
+        frac = min(self.finished_pixels / total, 1.0)
+        rate = self.total_rays / max(elapsed, 1e-9) / 1e6
+        eta = (elapsed / frac - elapsed) if frac > 1e-9 else float("inf")
+        eta_s = ("--:--" if eta == float("inf")
+                 else f"{int(eta) // 60}:{int(eta) % 60:02d}")
+        bar_n = 40
+        filled = int(frac * bar_n)
+
+        w.write("\x1b[H\x1b[2J")                # home + clear
+        w.write(f"Run time: {int(elapsed) // 60}:{int(elapsed) % 60:02d}"
+                f"    ETA: {eta_s}\r\n")
+        w.write(f"[{'#' * filled}{'.' * (bar_n - filled)}] "
+                f"{frac * 100.0:6.2f}%\r\n")
+        w.write(f"Pixels:   {self.finished_pixels}/{total}\r\n")
+        w.write(f"Rays:     {self.total_rays / 1e6:.3f}M total, "
+                f"{rate:.3f} Mrays/s\r\n")
+        waves = sorted((k, s.value) for k, s in self.runtimes.items()
+                       if k.startswith("Wave") and k.endswith("Rays"))
+        if waves:
+            w.write("\r\n")
+            for k, v in waves:
+                idx = k[len("Wave"):-len("Rays")]
+                w.write(f"  wave {idx}: {int(v):>12d} rays\r\n")
+        w.flush()
 
     def update_wavefront(self, result):
         """Adapter for RenderResult (per-render progress report)."""
@@ -77,7 +122,12 @@ class ProgressCtx:
 
     def finish(self):
         self.stop_time = time.perf_counter()
-        if self.enable_io:
+        if self._alt_screen:
+            # restore the main screen (progress.rs:144-155)
+            sys.stdout.write("\x1b[?1049l\x1b[?25h")
+            sys.stdout.flush()
+            self._alt_screen = False
+        elif self.enable_io:
             sys.stdout.write("\n")
             sys.stdout.flush()
 
@@ -100,6 +150,11 @@ class ProgressCtx:
             out(f"{k}: {int(v)}")
 
 
-def create_ctx(width: int, height: int, enable_io: bool = False) -> ProgressCtx:
-    """Reference create_ctx (progress.rs:69-90)."""
-    return ProgressCtx(width=width, height=height, enable_io=enable_io)
+def create_ctx(width: int, height: int, enable_io: bool = False,
+               dashboard: bool = None) -> ProgressCtx:
+    """Reference create_ctx (progress.rs:69-90).  dashboard=None picks the
+    alternate-screen UI on a TTY and the single status line otherwise."""
+    if dashboard is None:
+        dashboard = enable_io and sys.stdout.isatty()
+    return ProgressCtx(width=width, height=height, enable_io=enable_io,
+                       dashboard=dashboard)
