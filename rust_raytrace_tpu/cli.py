@@ -206,6 +206,11 @@ def cmd_tune(args):
 
 
 def main(argv=None):
+    # env_logger::init() analog (main.rs:91): RUST_RAYTRACE_LOG=debug enables
+    # depth-indented per-ray/per-box traversal tracing on the oracle paths
+    from .utils.tracelog import init_from_env
+    init_from_env()
+
     p = argparse.ArgumentParser(prog="rust_raytrace_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -751,20 +751,27 @@ class Engine(RayCaster):
 
     def walk_one_ray(self, v: Viewport, px) -> RenderResult:
         """Single-pixel probe (Viewport::walk_one_ray, raytrace.rs:1442-1455;
-        the CUDA cast_one_ray analog) through the portable trace path."""
+        the CUDA cast_one_ray analog) through the PRODUCTION pipeline: the
+        one ray rides lane 0 of a 128-lane chunk through the same cull,
+        trace, shade, and compaction code as a full render."""
         from .camera import pixel_rays
-        from .render import trace_rays
 
         row, col = px
         o_np, d_np = pixel_rays(v, np.asarray(row), np.asarray(col))
-        o = jnp.asarray(o_np[None], dtype=F32)
-        d = jnp.asarray(d_np[None], dtype=F32)
-        colors, aux = trace_rays(self.tensors, o, d, jax.random.PRNGKey(0),
-                                 maxdepth=v.maxdepth, backend="xla",
-                                 ray_chunk=128)
-        wave_rays = np.asarray(aux["wave_rays"])
+        R = 128
+        o = jnp.zeros((3, R), F32).at[:, 0].set(jnp.asarray(o_np, dtype=F32))
+        d = jnp.zeros((3, R), F32).at[:, 0].set(jnp.asarray(d_np, dtype=F32))
+        alive0 = jnp.arange(R) < 1
+        img, wave_counts, primary, _ = _render_device_compact(
+            self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0,
+            jax.random.PRNGKey(0), maxdepth=v.maxdepth, ray_chunk=R,
+            page_size=self.page_size, fixed_rng=True,
+            interpret=self.interpret, want_primary=True, quantize=False,
+            plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab)
+        wave_rays = np.asarray(wave_counts)
+        primary_h = np.asarray(primary)
         return RenderResult(
-            image=np.asarray(colors).reshape(1, 1, 3),
+            image=np.asarray(img)[:, 0].reshape(1, 1, 3),
             rays_traced=int(wave_rays.sum()), wave_rays=wave_rays,
-            primary_t=np.asarray(aux["primary_t"]).reshape(1, 1),
-            primary_id=np.asarray(aux["primary_id"]).reshape(1, 1))
+            primary_t=primary_h[0, 0].reshape(1, 1),
+            primary_id=primary_h[1, 0].astype(np.int32).reshape(1, 1))

@@ -304,14 +304,25 @@ def get_object_intersection_for_ray(node: Octree, tris: TriangleArrays,
             return None
         return float(sub_t[k]), int(n.tri_indices[k])
 
+    from .utils import tracelog
+
     def walk(n: Octree, best):
+        # depth-indented traversal tracing (raytrace.rs:912-918, 954-958)
+        tracelog.box_visit(n.depth, f"d={n.depth} orig={n.orig.tolist()} "
+                                    f"len2={n.len2}")
         if n.is_leaf:
+            tracelog.box_kind(n.depth, "Subobjects")
             cand = leaf_min(n)
+            if tracelog.enabled():
+                tracelog.leaf_result(
+                    n.depth, None if cand is None
+                    else (cand[0], None, None, cand[1]))
             if cand is None:
                 return best
             if best is None or cand[0] < best[0]:
                 return cand
             return best
+        tracelog.box_kind(n.depth, "Subboxes")
         entries = []
         for c in n.children:
             hit = collides(c, orig, d)

@@ -183,6 +183,8 @@ def project_ray(tris: TriangleArrays, orig, d, depth: int, rng,
     """
     if depth == 0:
         return BLACK.copy()
+    from .utils import tracelog
+    tracelog.ray(orig, d)     # RUST_RAYTRACE_LOG=debug (raytrace.rs:1259)
     if debug_ctx is not None:
         debug_ctx.add_ray(orig, d)
         if octree is not None:

@@ -89,3 +89,37 @@ def test_cli_debug_csv(tmp_path):
     text = open(csv).read()
     assert text.startswith("Pixel_x;Pixel_y")
     assert len(text.splitlines()) == 1 + 16 * 16
+
+
+def test_depth_indented_trace_logging(caplog):
+    """RUST_LOG analog: per-ray + per-box depth-indented tracing
+    (raytrace.rs:912-918, 954-958, 1027, 1259)."""
+    import logging
+
+    import numpy as np
+
+    from rust_raytrace_tpu import math3d as m3
+    from rust_raytrace_tpu import oracle
+    from rust_raytrace_tpu.geometry import make_sphere
+    from rust_raytrace_tpu.materials import matte
+    from rust_raytrace_tpu.octree import (build_bounding_box,
+                                          get_object_intersection_for_ray)
+    from rust_raytrace_tpu.scene import assemble
+
+    scene = assemble([make_sphere((0.0, 0.0, 6.0), 2.0, (6, 8),
+                                  matte(m3.make_color((250, 0, 0)), 0.2),
+                                  0.05)])
+    tree = build_bounding_box(scene.tris, (0.0, 0.0, 6.0), 6.0, 3, 6)
+    with caplog.at_level(logging.DEBUG, logger="rust_raytrace_tpu.trace"):
+        oracle.project_ray(scene.tris, np.zeros(3, np.float32),
+                           np.asarray([0, 0, 1], np.float32), 1,
+                           oracle.FixedRng())
+        get_object_intersection_for_ray(
+            tree, scene.tris, np.zeros(3, np.float32),
+            np.asarray([0, 0, 1], np.float32))
+    text = caplog.text
+    assert "Ray: orig=" in text
+    assert "Bounding box: " in text
+    # depth indentation present: a depth>=1 node line starts with a space
+    assert any(r.msg.startswith("%sBounding box") and r.args[0] == " "
+               for r in caplog.records) or " Bounding box:" in text

@@ -117,3 +117,16 @@ def test_walk_one_ray_probe(small_scene, vp, oracle_image):
     # primary hit id must agree with the full render's debug buffer
     full = r.render(vp, fixed_rng=True)
     assert res.primary_id[0, 0] == full.primary_id[16, 24]
+
+
+def test_engine_walk_one_ray_production_path(small_scene, vp):
+    """The single-ray probe rides the PRODUCTION pipeline (cull + per-lane
+    trace + compaction), so it probes the code a full render runs."""
+    from rust_raytrace_tpu.engine import Engine
+
+    eng = Engine(small_scene, page_size=64, ray_chunk=256, interpret=True)
+    res = eng.walk_one_ray(vp, (16, 24))
+    assert res.image.shape == (1, 1, 3)
+    full = eng.render(vp, fixed_rng=True, debug=True, quantize=False)
+    assert res.primary_id[0, 0] == full.primary_id[16, 24]
+    np.testing.assert_array_equal(res.image[0, 0], full.image[16, 24])
