@@ -53,7 +53,8 @@ from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
                                    TRACE_ROWS as TRACE_ROWS_TOTAL,
                                    fold_pages_origin, trace_chunks_pallas)
 from .ops.intersect_perlane import build_perlane_tables, trace_perlane_pallas
-from .ops.pages import build_pages_morton
+from .ops.pages import build_pages_kd
+from .ops.shade import shade_pallas
 from .render import (KIND_MATTE, KIND_REFLECTIVE, RayCaster, RenderResult,
                      SceneTensors, _unit, upload_scene)
 from .scene import Scene
@@ -364,10 +365,12 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
     sd_m = jnp.where(hit_mask, sd, 0.0)
     sexcl = jnp.where(hit_mask, hid, 0.0)
     if plt_i is not None:
-        # shadow rays are maximally scattered — per-lane traversal, no cull
+        # shadow rays are maximally scattered — per-lane traversal, no cull;
+        # occlusion needs ANY other hit, not the nearest (any_hit)
         srows = trace_perlane_pallas(so_m, sd_m, hit_mask[0], plt_i, plt_s,
                                      ab_tab, page_size, ray_chunk,
-                                     interpret=interpret, excl=sexcl)
+                                     interpret=interpret, excl=sexcl,
+                                     any_hit=True)
     else:
         smask, stmin = cull_mask_exact_pallas(so_m, sd_m, hit_mask[0],
                                               aabb_lo, aabb_hi, ray_chunk,
@@ -486,13 +489,6 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                 # (debug.rs:180-205): each chunk's surviving page list
                 cull0 = (counts, plist)
 
-        if fixed_rng:
-            rv = jnp.broadcast_to(
-                _unit(jnp.asarray([0.36, 0.48, 0.8], dtype=F32))[:, None],
-                (3, R))
-        else:
-            rv = _random_unit_rows(jax.random.fold_in(key, wave), R)
-
         shadowed = None
         if has_lights:
             shadowed = _shadow_mask(st, aabb_lo, aabb_hi, o_w, d_w, alive,
@@ -501,17 +497,17 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                                     nbuf, plt_i=plt_i, plt_s=plt_s,
                                     ab_tab=ab_tab)
 
-        contrib, weight, alive2, o2, d2 = _shade_rows(
-            rows, o_w, d_w, state[ROW_W], alive, rv, shadowed)
-        if weight_cutoff > 0.0:
-            alive2 = alive2 & (weight > weight_cutoff)
-        died = alive & ~alive2
-        state = (state.at[0:3].set(o2).at[3:6].set(d2)
-                 .at[ROW_W].set(weight)
-                 .at[ROW_ALIVE].set(alive2.astype(F32))
-                 .at[ROW_ACC:ROW_ACC + 3].add(contrib)
-                 .at[ROW_DEAD].set(jnp.maximum(state[ROW_DEAD],
-                                               died.astype(F32))))
+        # Fused shade + scatter RNG + state update: one chunk-skipping
+        # Pallas kernel instead of threefry + ~60 XLA elementwise passes at
+        # full R every wave (ops/shade.py).
+        kw = jax.random.fold_in(key, wave)
+        seed = kw if kw.ndim == 1 else jax.random.key_data(kw)
+        state = shade_pallas(
+            state, rows, seed.astype(jnp.uint32), rb=rb_w,
+            fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
+            chunk_live=chunk_live,
+            shadowed=None if shadowed is None else shadowed[None, :],
+            interpret=interpret)
 
         if wave < maxdepth - 1 and "compact" not in profile_skip:
             meta, total_a, overflow, dead_end = compact_meta(
@@ -590,7 +586,11 @@ class Engine(RayCaster):
         self.weight_cutoff = weight_cutoff
         self.bounce_chunk = bounce_chunk
         self.nbuf = nbuf
-        self.pages = build_pages_morton(scene.tris, page_size=page_size)
+        # KD median-split pages: ~2.3x fewer slab-hit pages per ray than the
+        # Morton layout (tighter AABBs — see ops.pages.kd_order), which
+        # multiplies through the cull, the per-lane step counts, and the
+        # provable-miss shortcut.
+        self.pages = build_pages_kd(scene.tris, page_size=page_size)
         self.tensors = upload_scene(scene, pages=self.pages)
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
         self.aabb_hi = jnp.asarray(self.pages.aabb_hi)

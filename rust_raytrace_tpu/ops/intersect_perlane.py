@@ -16,13 +16,24 @@ scene is kept VMEM-resident as a [rows, 128] PAGES-ON-LANES table, and rays
 are processed in groups of 128:
 
   1. per-lane slab test of all 128 page AABBs ([pages, rays] tile, exactly
-     the packet cull's math at ray granularity);
-  2. rank the hits down the page axis (a one-hot lower-triangular matmul);
-  3. loop k = 0..max(count): each lane gathers its k-th page's entire
-     triangle table column ([17*P, 128] same-shape take_along_axis), runs
-     the standard incenter/half-plane predicate on [P, 128] tiles, and
-     folds a lexicographic (t, id) running best;
-  4. the winner's normal and material are extracted by ONE more gather of
+     the packet cull's math at ray granularity) -> a per-lane WORK matrix
+     hit[page, ray] plus the slab entry distances tlo[page, ray];
+  2. loop while any work remains: each lane priority-encodes its first
+     remaining page (min page index down the sublane axis), gathers that
+     page's entire triangle table column ([17*P, 128] same-shape
+     take_along_axis), runs the standard incenter/half-plane predicate on
+     [P, 128] tiles, and folds a lexicographic (t, id) running best; the
+     tested page is cleared from the work matrix, and so is EVERY page
+     whose slab entry lies beyond the lane's current best hit
+     (tlo > best_t) — a per-lane front-to-back cut that needs no sort
+     (Morton page order is already spatial), so the loop runs to each
+     group's surviving-page count, not its raw slab-hit count.  (An
+     explicit in-kernel bitonic sort by entry distance measured ~12%
+     SLOWER than index order — docs/PERF.md round-2 finding #6; this cut
+     keeps index order and still realizes most of the early-exit win.)
+     Shadow rays (`any_hit`) retire a lane's remaining pages as soon as
+     ANY occluder is found — occlusion needs no nearest-hit.
+  3. the winner's normal and material are extracted by ONE more gather of
      the winner page plus an id-match masked reduction — no ray-scale
      gathers, same output contract as the union kernel (rows ROW_*).
 
@@ -44,7 +55,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .pages import PACK_LANES, PageTables
 
 F32 = jnp.float32
-BF16 = jnp.bfloat16
 BIG = 1e30
 
 GROUP = 128           # rays per gather group (= max gatherable lanes)
@@ -86,7 +96,7 @@ def build_perlane_tables(pages: PageTables):
 
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
             plts_ref, out_ref, *, page_size: int, ray_chunk: int,
-            exclude_id: bool):
+            exclude_id: bool, any_hit: bool):
     P = page_size
     row = jax.lax.rem(pl.program_id(0), 8)
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -96,18 +106,17 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
         plt = plt_ref[:]                                 # [17P, 128]
         plts = plts_ref[:]                               # [7P, 128]
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
-        lt = (sub_p > lane_i).astype(BF16)               # LT[p, p'<p]
 
         for g in range(ray_chunk // GROUP):
             sl = slice(g * GROUP, (g + 1) * GROUP)
-            _group(plt, plts, sub_p, lt, o_ref[:, sl], d_ref[:, sl],
+            _group(plt, plts, sub_p, o_ref[:, sl], d_ref[:, sl],
                    a_ref[:, sl],
                    excl_ref[:, sl] if exclude_id else None,
-                   ab_ref, out_ref, sl, P)
+                   ab_ref, out_ref, sl, P, any_hit)
 
 
-def _group(plt, plts, sub_p, lt, o3, d3, a1, excl, ab_ref, out_ref, sl, P):
+def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
+           any_hit):
     """Trace one 128-ray group against its per-lane page lists."""
     valid = a1[0:1, :] != 0.0                            # [1, 128]
 
@@ -128,15 +137,9 @@ def _group(plt, plts, sub_p, lt, o3, d3, a1, excl, ab_ref, out_ref, sl, P):
             thi = ahi if thi is None else jnp.minimum(thi, ahi)
         page_ok = ab_ref[:, 6:7] != 0.0
         hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok   # [128p, 128r]
+        hit_f0 = hit.astype(F32)
 
-        # 2. rank hits down the page axis (exclusive prefix count)
-        hit_b = hit.astype(BF16)
-        rank = jax.lax.dot_general(lt, hit_b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=F32)  # [p, r]
-        cnt = jnp.sum(hit.astype(F32), axis=0)[None, :]         # [1, 128]
-        kmax = jnp.max(cnt).astype(jnp.int32)
-
-        page_f = sub_p[:, 0:1].astype(F32)               # [128, 1] page ids
+        page_f2 = sub_p.astype(F32)                      # [128, 128] page ids
 
         o0, o1, o2 = (o3[k:k + 1, :] for k in range(3))
         d0, d1, d2 = (d3[k:k + 1, :] for k in range(3))
@@ -165,10 +168,13 @@ def _group(plt, plts, sub_p, lt, o3, d3, a1, excl, ab_ref, out_ref, sl, P):
             return t, ok, ids, md_n, (dv0, dv1, dv2)
 
         def body(carry):
-            k, best_t, best_id, best_pg = carry
-            selk = hit & (rank == k.astype(F32))         # [p, r] one-hot
-            page = jnp.sum(jnp.where(selk, page_f, 0.0), axis=0)[None, :]
-            has = (jnp.sum(selk.astype(F32), axis=0) > 0.0)[None, :]
+            work, hit_f, best_t, best_id, best_pg = carry
+            del work
+            # priority-encode each lane's first remaining page
+            pidx = jnp.min(jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
+                           axis=0, keepdims=True)        # [1, 128]
+            has = pidx < F32(GROUP)
+            page = jnp.where(has, pidx, 0.0)
             idx = jnp.broadcast_to(page.astype(jnp.int32), plt.shape)
             G = jnp.take_along_axis(plt, idx, axis=1)    # [17P, 128]
 
@@ -182,15 +188,23 @@ def _group(plt, plts, sub_p, lt, o3, d3, a1, excl, ab_ref, out_ref, sl, P):
             best_t = jnp.where(upd, pmin, best_t)
             best_id = jnp.where(upd, pid, best_id)
             best_pg = jnp.where(upd, page, best_pg)
-            return k + 1, best_t, best_id, best_pg
+            # retire the tested page; drop pages that can no longer win
+            # (slab entry beyond the current best — any triangle in such a
+            # page has t >= tlo > best_t, so dropping is bit-exact)
+            keep = (page_f2 != pidx) & (tlo <= best_t)
+            if any_hit:
+                # occlusion query: a lane with ANY hit is done
+                keep = keep & (best_id == 0.0)
+            hit_f = hit_f * keep.astype(F32)
+            return jnp.max(hit_f), hit_f, best_t, best_id, best_pg
 
         def cond(carry):
-            return carry[0] < kmax
+            return carry[0] > 0.0
 
         init_t = jnp.where(valid, jnp.inf, -jnp.inf)
         zero = jnp.zeros_like(init_t)
-        _, best_t, best_id, best_pg = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), init_t, zero, zero))
+        _, _, best_t, best_id, best_pg = jax.lax.while_loop(
+            cond, body, (jnp.max(hit_f0), hit_f0, init_t, zero, zero))
 
         # 3. winner extraction: one more gather of the winner page
         hitl = best_id != 0.0                            # [1, 128]
@@ -228,16 +242,20 @@ def _group(plt, plts, sub_p, lt, o3, d3, a1, excl, ab_ref, out_ref, sl, P):
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
-                                             "interpret"))
+                                             "interpret", "any_hit"))
 def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
                          ray_chunk: int, chunk_live=None,
-                         interpret: bool = False, excl=None):
+                         interpret: bool = False, excl=None,
+                         any_hit: bool = False):
     """Per-lane nearest hit + winner state.  Same output contract as
     trace_chunks_pallas: OUT [16, R] (rows ROW_*).
 
     OT, DT: [3, R]; alive: [R] bool-ish; plt_i/plt_s/ab from
     build_perlane_tables (device arrays); chunk_live: optional [NC] skip
-    flags; excl: optional [1, R] excluded triangle id per ray.
+    flags; excl: optional [1, R] excluded triangle id per ray; any_hit:
+    occlusion mode — ROW_ID != 0 means "some triangle intersects" but t and
+    the winner state are NOT the nearest hit (lanes stop at the first hit
+    found, like a shadow-feeler that needs no ordering).
     """
     RB = ray_chunk
     R = OT.shape[1]
@@ -290,7 +308,7 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
 
     out = pl.pallas_call(
         functools.partial(_kernel, page_size=page_size, ray_chunk=RB,
-                          exclude_id=exclude_id),
+                          exclude_id=exclude_id, any_hit=any_hit),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,

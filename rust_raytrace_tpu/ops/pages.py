@@ -197,5 +197,45 @@ def morton_order(tris: TriangleArrays) -> np.ndarray:
 
 
 def build_pages_morton(tris: TriangleArrays, page_size: int = 256) -> PageTables:
-    """Morton-ordered pages (the production layout for packet culling)."""
+    """Morton-ordered pages (the round-1 production layout)."""
     return build_pages(tris, page_size=page_size, order=morton_order(tris))
+
+
+def kd_order(tris: TriangleArrays, page_size: int) -> np.ndarray:
+    """Triangle indices 1..N-1 ordered by recursive longest-axis median
+    splits of the centroids, with every split aligned to a page multiple.
+
+    Morton cells overlap heavily once carved into fixed-size pages (a z-curve
+    run can straddle cell boundaries); median splits adapt to the actual
+    triangle distribution, so page AABBs overlap far less and every consumer
+    of the page bounds sharpens — the packet cull's page lists, the per-lane
+    kernel's slab-selected step counts, and the shade kernel's provable-miss
+    test.  This is the flat-page analog of the reference's octree subdivision
+    (build_bounding_box, raytrace.rs:790-845) without its triangle
+    duplication.  Sentinel slot 0 stays excluded (raytrace.rs:791).
+    """
+    c = tris.incenter
+
+    out = []
+
+    def rec(ids):
+        n = len(ids)
+        if n <= page_size:
+            out.append(ids)
+            return
+        cc = c[ids]
+        axis = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
+        k = -(-n // page_size)
+        nl = (k // 2) * page_size
+        order = np.argsort(cc[:, axis], kind="stable")
+        rec(ids[order[:nl]])
+        rec(ids[order[nl:]])
+
+    rec(np.arange(1, len(tris), dtype=np.int64))
+    return np.concatenate(out)
+
+
+def build_pages_kd(tris: TriangleArrays, page_size: int = 256) -> PageTables:
+    """KD-split pages (the production layout: minimal page-AABB overlap)."""
+    return build_pages(tris, page_size=page_size,
+                       order=kd_order(tris, page_size))

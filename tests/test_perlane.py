@@ -1,0 +1,102 @@
+"""Unit tests for the per-lane (per-ray) page traversal kernel.
+
+The per-lane kernel is the production bounce/shadow path (engine.py routes
+waves >= 1 through it when NP <= 128).  These tests pin its contract directly
+against the numpy kernel model (the exec_rust_raytrace role,
+cuda_raytrace.rs:118-229) on deliberately SCATTERED rays — the workload the
+kernel exists for — including the dynamic front-to-back page cut
+(tlo > best_t retirement) and the any-hit occlusion mode.
+"""
+
+import numpy as np
+import pytest
+
+from rust_raytrace_tpu import math3d as m3
+from rust_raytrace_tpu.geometry import make_sphere, make_triangles
+from rust_raytrace_tpu.materials import solid
+from rust_raytrace_tpu.ops.intersect_ref import nearest_hit_model
+from rust_raytrace_tpu.ops.pages import build_pages_morton
+from rust_raytrace_tpu.scene import assemble
+
+F32 = np.float32
+RB = 256
+
+
+@pytest.fixture(scope="module")
+def scene():
+    """Sentinel + sphere shell + floor: multiple Morton pages, mixed hits."""
+    s = make_sphere((0.0, 0.0, 6.0), 2.0, (8, 12),
+                    solid(m3.make_color((200, 60, 60))), -1.0)
+    floor = make_triangles(
+        np.asarray([[[-20, -3, -10], [20, -3, -10], [0, -3, 40]]], dtype=F32),
+        solid(m3.make_color((120, 120, 120))), 0.0)
+    return assemble([s, floor])
+
+
+@pytest.fixture(scope="module")
+def scattered_rays():
+    """Bounce-like workload: origins near the sphere, random directions."""
+    rng = np.random.default_rng(7)
+    R = 2 * RB
+    o = rng.uniform(-3, 3, size=(R, 3)).astype(F32)
+    o[:, 2] += 6.0
+    d = rng.normal(size=(R, 3)).astype(F32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # a few dead lanes sprinkled in (compaction gaps)
+    alive = rng.uniform(size=R) > 0.1
+    return o, d, alive
+
+
+def _run_perlane(scene, o, d, alive, excl=None, any_hit=False):
+    import jax.numpy as jnp
+
+    from rust_raytrace_tpu.ops.intersect_perlane import (
+        ROW_ID, ROW_T, build_perlane_tables, trace_perlane_pallas)
+
+    pages = build_pages_morton(scene.tris, page_size=16)
+    plt_i, plt_s, ab = build_perlane_tables(pages)
+    out = trace_perlane_pallas(
+        jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(alive),
+        jnp.asarray(plt_i), jnp.asarray(plt_s), jnp.asarray(ab),
+        page_size=16, ray_chunk=RB, interpret=True,
+        excl=None if excl is None else jnp.asarray(excl[None, :]),
+        any_hit=any_hit)
+    out = np.asarray(out)
+    return pages, out[ROW_T], out[ROW_ID].astype(np.int32)
+
+
+def test_nearest_hit_matches_model(scene, scattered_rays):
+    o, d, alive = scattered_rays
+    pages, t_k, id_k = _run_perlane(scene, o, d, alive)
+    t_m, id_m = nearest_hit_model(o, d, pages)
+
+    # dead lanes must be zeroed, not traced
+    assert (id_k[~alive] == 0).all()
+    live = alive
+    assert ((id_k != 0) == (id_m != 0))[live].all()
+    hit = live & (id_m != 0)
+    np.testing.assert_allclose(t_k[hit], t_m[hit], rtol=1e-5, atol=1e-6)
+    # id mismatches only via exact-t ties across pages (none expected here)
+    assert (id_k[hit] == id_m[hit]).mean() > 0.999
+
+
+def test_any_hit_occlusion_set(scene, scattered_rays):
+    """any_hit returns SOME hit exactly when the nearest-hit path hits."""
+    o, d, alive = scattered_rays
+    _, t_n, id_n = _run_perlane(scene, o, d, alive)
+    _, t_a, id_a = _run_perlane(scene, o, d, alive, any_hit=True)
+    assert ((id_a != 0) == (id_n != 0)).all()
+    # the any-hit t is a real intersection: never closer than the nearest
+    hit = id_a != 0
+    assert (t_a[hit] >= t_n[hit] - 1e-6).all()
+
+
+def test_excluded_id(scene, scattered_rays):
+    """Shadow-feeler exclusion: the excluded triangle never wins, and the
+    result equals the model run with that triangle masked out."""
+    o, d, alive = scattered_rays
+    pages, t_n, id_n = _run_perlane(scene, o, d, alive)
+    excl = id_n.astype(F32)      # exclude each ray's own nearest hit
+    _, t_e, id_e = _run_perlane(scene, o, d, alive, excl=excl,
+                                any_hit=True)
+    assert ((id_e != 0) & (id_e == id_n)).sum() == 0
