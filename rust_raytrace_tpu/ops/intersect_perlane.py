@@ -52,14 +52,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compact import _onehot, _permute
 from .pages import PACK_LANES, PageTables
 
 F32 = jnp.float32
+BF16 = jnp.bfloat16
 BIG = 1e30
 
 GROUP = 128           # rays per gather group (= max gatherable lanes)
 N_INT = 17            # intersect features: n(3) s0..s2(9) nc(1) s*c(3) id(1)
 N_SHD = 7             # shade features: et kind color(3) alpha scat
+
+#: in-chunk count-sort class bounds: lanes are permuted inside each chunk so
+#: every 128-ray gather group holds rays of ~one count class — the traversal
+#: loop runs to each group's max page count, so mixing a 2-page ray with an
+#: 18-page ray makes the cheap lane pay the expensive lane's steps.  Unlike
+#: bucketed COMPACTION (which pays 128-lane alignment per (chunk, bucket) and
+#: measured 2x slower end-to-end), the in-chunk sort has no padding cost, so
+#: finer classes are strictly better; the masks/ranks matmul grows only by
+#: rows.  Dead lanes sort last (count forced huge).
+SORT_THRESH = (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 8.0, 11.0, 15.0)
 
 #: output rows (identical contract to ops.intersect_pallas)
 from .intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
@@ -94,10 +106,30 @@ def build_perlane_tables(pages: PageTables):
     return plt_i, plt_s, ab
 
 
+def _slab(ab_ref, o3, d3):
+    """Per-lane slab test vs all page AABBs: (tlo, thi, page_ok),
+    each [pages, rays]."""
+    tlo = None
+    thi = None
+    for k in range(3):
+        d_k = d3[k:k + 1, :]
+        inv = jnp.where(d_k != 0.0, 1.0 / d_k,
+                        jnp.where(d_k >= 0.0, F32(BIG), F32(-BIG)))
+        t1 = (ab_ref[:, k:k + 1] - o3[k:k + 1, :]) * inv
+        t2 = (ab_ref[:, k + 3:k + 4] - o3[k:k + 1, :]) * inv
+        alo = jnp.minimum(t1, t2)
+        ahi = jnp.maximum(t1, t2)
+        tlo = alo if tlo is None else jnp.maximum(tlo, alo)
+        thi = ahi if thi is None else jnp.minimum(thi, ahi)
+    page_ok = ab_ref[:, 6:7] != 0.0
+    return tlo, thi, page_ok
+
+
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
-            plts_ref, out_ref, *, page_size: int, ray_chunk: int,
-            exclude_id: bool, any_hit: bool):
+            plts_ref, out_ref, sout, *, page_size: int, ray_chunk: int,
+            exclude_id: bool, any_hit: bool, sort_lanes: bool):
     P = page_size
+    RB = ray_chunk
     row = jax.lax.rem(pl.program_id(0), 8)
     out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -107,12 +139,71 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
         plts = plts_ref[:]                               # [7P, 128]
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
 
-        for g in range(ray_chunk // GROUP):
+        if not sort_lanes:
+            for g in range(RB // GROUP):
+                sl = slice(g * GROUP, (g + 1) * GROUP)
+                _group(plt, plts, sub_p, o_ref[:, sl], d_ref[:, sl],
+                       a_ref[:, sl],
+                       excl_ref[:, sl] if exclude_id else None,
+                       ab_ref, out_ref, sl, P, any_hit)
+            return
+
+        # --- in-chunk count sort ---
+        # 1. per-lane page counts (slab only; recomputed per group below on
+        #    the permuted lanes — cheaper than permuting the hit matrices)
+        cnts = []
+        for g in range(RB // GROUP):
             sl = slice(g * GROUP, (g + 1) * GROUP)
-            _group(plt, plts, sub_p, o_ref[:, sl], d_ref[:, sl],
-                   a_ref[:, sl],
-                   excl_ref[:, sl] if exclude_id else None,
-                   ab_ref, out_ref, sl, P, any_hit)
+            tlo, thi, page_ok = _slab(ab_ref, o_ref[:, sl], d_ref[:, sl])
+            ent = (tlo <= thi) & (thi >= 0.0) & page_ok
+            cnts.append(jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
+                                axis=0, keepdims=True))
+        cnt = jnp.concatenate(cnts, axis=1)              # [1, RB]
+        alive_row = a_ref[0:1, :]
+        cnt_eff = jnp.where(alive_row != 0.0, cnt, F32(1e9))  # gaps last
+
+        # 2. class masks + within-class ranks (one lower-triangular matmul,
+        #    exact: 0/1 bf16 products, f32 accumulation)
+        nbk = len(SORT_THRESH) + 1
+        qsum = jnp.zeros_like(cnt)
+        for thr in SORT_THRESH:
+            qsum = qsum + jnp.where(cnt_eff > F32(thr), F32(1.0), F32(0.0))
+        masks = jnp.concatenate(
+            [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
+             for q in range(nbk)], axis=0)               # [nbk, RB]
+        subq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 0)
+        laneq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 1)
+        klt = (laneq < subq).astype(BF16)
+        ranks = jax.lax.dot_general(
+            masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)                  # [nbk, RB]
+        tot = jnp.sum(masks, axis=1, keepdims=True)      # [nbk, 1]
+
+        # 3. destination lane = class base + within-class rank -> one-hot
+        dest = jnp.zeros_like(cnt)
+        base = F32(0.0)
+        for q in range(nbk):
+            dest = dest + masks[q:q + 1] * (base + ranks[q:q + 1])
+            base = base + tot[q, 0]
+        M = _onehot(dest, jnp.ones_like(dest), RB)       # [dst, src] bf16
+
+        # 4. permute the 8 input rows (byte-split one-hot matmul: f32 bits
+        #    move untouched — ops/compact.py, verified bit-exact on chip)
+        in8 = jnp.concatenate(
+            [o_ref[:], d_ref[:], alive_row,
+             excl_ref[0:1, :] if exclude_id else alive_row], axis=0)
+        p8 = _permute(in8, M, compacting=True)           # [8, RB]
+
+        # 5. trace the count-uniform groups into scratch
+        sout[:] = jnp.zeros_like(sout)
+        for g in range(RB // GROUP):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            _group(plt, plts, sub_p, p8[0:3, sl], p8[3:6, sl], p8[6:7, sl],
+                   p8[7:8, sl] if exclude_id else None,
+                   ab_ref, sout, sl, P, any_hit)
+
+        # 6. inverse permutation puts winner rows back in lane order
+        out_ref[:] = _permute(sout[:], M, compacting=False)
 
 
 def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
@@ -123,19 +214,7 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
     @pl.when(jnp.any(valid))
     def _():
         # 1. per-lane slab tests vs all page AABBs: [pages, rays]
-        tlo = None
-        thi = None
-        for k in range(3):
-            d_k = d3[k:k + 1, :]
-            inv = jnp.where(d_k != 0.0, 1.0 / d_k,
-                            jnp.where(d_k >= 0.0, F32(BIG), F32(-BIG)))
-            t1 = (ab_ref[:, k:k + 1] - o3[k:k + 1, :]) * inv
-            t2 = (ab_ref[:, k + 3:k + 4] - o3[k:k + 1, :]) * inv
-            alo = jnp.minimum(t1, t2)
-            ahi = jnp.maximum(t1, t2)
-            tlo = alo if tlo is None else jnp.maximum(tlo, alo)
-            thi = ahi if thi is None else jnp.minimum(thi, ahi)
-        page_ok = ab_ref[:, 6:7] != 0.0
+        tlo, thi, page_ok = _slab(ab_ref, o3, d3)
         hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok   # [128p, 128r]
         hit_f0 = hit.astype(F32)
 
@@ -242,11 +321,12 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
-                                             "interpret", "any_hit"))
+                                             "interpret", "any_hit",
+                                             "sort_lanes"))
 def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
                          ray_chunk: int, chunk_live=None,
                          interpret: bool = False, excl=None,
-                         any_hit: bool = False):
+                         any_hit: bool = False, sort_lanes=None):
     """Per-lane nearest hit + winner state.  Same output contract as
     trace_chunks_pallas: OUT [16, R] (rows ROW_*).
 
@@ -255,8 +335,12 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
     flags; excl: optional [1, R] excluded triangle id per ray; any_hit:
     occlusion mode — ROW_ID != 0 means "some triangle intersects" but t and
     the winner state are NOT the nearest hit (lanes stop at the first hit
-    found, like a shadow-feeler that needs no ordering).
+    found, like a shadow-feeler that needs no ordering); sort_lanes: permute
+    each chunk's lanes into page-count classes before grouping (bit-exact
+    round trip; default: on when the chunk spans >= 2 groups).
     """
+    if sort_lanes is None:
+        sort_lanes = ray_chunk >= 2 * GROUP
     RB = ray_chunk
     R = OT.shape[1]
     NC = R // RB
@@ -304,11 +388,15 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
             pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((TRACE_ROWS, RB), F32),
+        ],
     )
 
     out = pl.pallas_call(
         functools.partial(_kernel, page_size=page_size, ray_chunk=RB,
-                          exclude_id=exclude_id, any_hit=any_hit),
+                          exclude_id=exclude_id, any_hit=any_hit,
+                          sort_lanes=sort_lanes),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,

@@ -69,11 +69,6 @@ def main():
     print(f"wave_counts: {np.asarray(wc).tolist()}", flush=True)
     print(f"FULL cb=512: {full*1e3:.1f} ms  ({rays/full/1e6:.1f} Mrays/s)",
           flush=True)
-    for cb in (1024, 2048):
-        dt, wc2 = bench(cb=cb)
-        r2 = int(np.asarray(wc2).sum())
-        print(f"FULL cb={cb}: {dt*1e3:.1f} ms  ({r2/dt/1e6:.1f} Mrays/s)",
-              flush=True)
     for skip in (("trace",), ("expand",),
                  ("trace", "compact", "expand")):
         dt, _ = bench(skip)

@@ -91,6 +91,26 @@ def test_any_hit_occlusion_set(scene, scattered_rays):
     assert (t_a[hit] >= t_n[hit] - 1e-6).all()
 
 
+def test_sort_lanes_bit_exact(scene, scattered_rays):
+    """The in-chunk count sort is a pure permutation round trip: outputs
+    must match the unsorted kernel BITWISE."""
+    import jax.numpy as jnp
+
+    from rust_raytrace_tpu.ops.intersect_perlane import (
+        build_perlane_tables, trace_perlane_pallas)
+
+    o, d, alive = scattered_rays
+    pages = build_pages_morton(scene.tris, page_size=16)
+    plt_i, plt_s, ab = build_perlane_tables(pages)
+    outs = []
+    for sort in (False, True):
+        outs.append(np.asarray(trace_perlane_pallas(
+            jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(alive),
+            jnp.asarray(plt_i), jnp.asarray(plt_s), jnp.asarray(ab),
+            page_size=16, ray_chunk=RB, interpret=True, sort_lanes=sort)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_excluded_id(scene, scattered_rays):
     """Shadow-feeler exclusion: the excluded triangle never wins, and the
     result equals the model run with that triangle masked out."""
