@@ -43,7 +43,7 @@ def main():
                                               _render_device_compact)
 
         extras["backend"] = "engine(pallas,compact)"
-        page_size, rb = 64, 1024
+        page_size, rb = 56, 1024
         eng = Engine(scene, page_size=page_size, ray_chunk=rb)
         eng.render(vp, key=jax.random.PRNGKey(0))     # warmup/compile
 

@@ -52,7 +52,9 @@ from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
                                    ROW_NORM, ROW_SCAT, ROW_T,
                                    TRACE_ROWS as TRACE_ROWS_TOTAL,
                                    fold_pages_origin, trace_chunks_pallas)
-from .ops.intersect_perlane import build_perlane_tables, trace_perlane_pallas
+from .ops.intersect_perlane import (build_perlane_tables,
+                                    trace_perlane_pallas,
+                                    trace_shade_perlane_pallas)
 from .ops.pages import build_pages_kd
 from .ops.shade import shade_pallas
 from .render import (KIND_MATTE, KIND_REFLECTIVE, RayCaster, RenderResult,
@@ -451,13 +453,25 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
         wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
 
         perlane = plt_i is not None and wave > 0
-        if "trace" in profile_skip:
+        kw = jax.random.fold_in(key, wave)
+        seed = (kw if kw.ndim == 1 else jax.random.key_data(kw)) \
+            .astype(jnp.uint32)
+        if perlane and not has_lights and "trace" not in profile_skip:
+            # Bounce waves: per-lane traversal (each ray tests only its OWN
+            # slab-selected pages — no packet cull or page sort) FUSED with
+            # the wave's shade/scatter/state update: the winner rows never
+            # leave VMEM (the standalone shade kernel costs ~5 ms/wave in
+            # block DMA alone).  Lights configs stay unfused — the shadow
+            # pass must run between trace and shade.
+            state = trace_shade_perlane_pallas(
+                state, plt_i, plt_s, ab_tab, seed, page_size, rb_w,
+                fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
+                chunk_live=chunk_live, interpret=interpret)
+            rows = None
+        elif "trace" in profile_skip:
             rows = jnp.zeros((TRACE_ROWS_TOTAL, R), F32)
         elif perlane:
-            # Bounce waves: per-lane traversal — each ray tests only its
-            # OWN slab-selected pages (~6-8) instead of the chunk union
-            # (~90 for scattered directions); no packet cull or page sort
-            # needed at all (ops/intersect_perlane.py).
+            # per-lane traversal, unfused (lights: shadow pass needs rows)
             rows = trace_perlane_pallas(o_w, d_w, alive, plt_i, plt_s,
                                         ab_tab, page_size, rb_w,
                                         chunk_live=chunk_live,
@@ -489,25 +503,24 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                 # (debug.rs:180-205): each chunk's surviving page list
                 cull0 = (counts, plist)
 
-        shadowed = None
-        if has_lights:
-            shadowed = _shadow_mask(st, aabb_lo, aabb_hi, o_w, d_w, alive,
-                                    rows, key, wave, fixed_rng, light_orig,
-                                    light_len2, page_size, rb_w, interpret,
-                                    nbuf, plt_i=plt_i, plt_s=plt_s,
-                                    ab_tab=ab_tab)
+        if rows is not None:
+            shadowed = None
+            if has_lights:
+                shadowed = _shadow_mask(st, aabb_lo, aabb_hi, o_w, d_w,
+                                        alive, rows, key, wave, fixed_rng,
+                                        light_orig, light_len2, page_size,
+                                        rb_w, interpret, nbuf, plt_i=plt_i,
+                                        plt_s=plt_s, ab_tab=ab_tab)
 
-        # Fused shade + scatter RNG + state update: one chunk-skipping
-        # Pallas kernel instead of threefry + ~60 XLA elementwise passes at
-        # full R every wave (ops/shade.py).
-        kw = jax.random.fold_in(key, wave)
-        seed = kw if kw.ndim == 1 else jax.random.key_data(kw)
-        state = shade_pallas(
-            state, rows, seed.astype(jnp.uint32), rb=rb_w,
-            fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
-            chunk_live=chunk_live,
-            shadowed=None if shadowed is None else shadowed[None, :],
-            interpret=interpret)
+            # Shade + scatter RNG + state update: one chunk-skipping Pallas
+            # kernel instead of threefry + ~60 XLA elementwise passes at
+            # full R every wave (ops/shade.py).
+            state = shade_pallas(
+                state, rows, seed, rb=rb_w,
+                fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
+                chunk_live=chunk_live,
+                shadowed=None if shadowed is None else shadowed[None, :],
+                interpret=interpret)
 
         if wave < maxdepth - 1 and "compact" not in profile_skip:
             meta, total_a, overflow, dead_end = compact_meta(
@@ -566,7 +579,7 @@ class Engine(RayCaster):
     ray, and the shading algebra is shared); differs only in wave scheduling.
     """
 
-    def __init__(self, scene: Scene, page_size: int = 64,
+    def __init__(self, scene: Scene, page_size: int = 56,
                  ray_chunk: int = 1024, interpret: bool = False,
                  pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
                  bounce_chunk: int = 0, nbuf: int = 4,

@@ -129,14 +129,17 @@ def compact_meta(alive, dead, cb: int, dead_base, R: int):
     return meta, total_a, overflow, dead_end
 
 
-def _ranks(alive_f, dead_f, cb: int):
+def _ranks(alive_f, dead_f, cb: int, klt=None):
     """Exclusive prefix counts of alive/dead along lanes via a one-hot
     lower-triangular matmul (exact: bf16 0/1 products, f32 accumulation).
     alive_f/dead_f: [1, CB] f32 0/1.  Returns (rank_a, rank_d): [1, CB] f32.
-    """
-    sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 1)
-    klt = (lane < sub).astype(BF16)                   # KLT[out, contract]
+    `klt`: optional precomputed [CB, CB] bf16 strict-lower matrix (kernels
+    build it ONCE into persistent scratch — per-chunk iota builds measure
+    ~1 us each at CB=512)."""
+    if klt is None:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 1)
+        klt = (lane < sub).astype(BF16)               # KLT[out, contract]
     masks = jnp.concatenate([alive_f, dead_f], axis=0).astype(BF16)  # [2, CB]
     ranks = jax.lax.dot_general(
         masks, klt, (((1,), (1,)), ((), ())),
@@ -144,11 +147,16 @@ def _ranks(alive_f, dead_f, cb: int):
     return ranks[0:1], ranks[1:2]
 
 
-def _onehot(rank, mask_f, cb: int):
+def _onehot(rank, mask_f, cb: int, sub_f=None):
     """Permutation matrix M[dst(sublane), src(lane)] = 1 iff mask[src] and
-    rank[src] == dst.  Rows dst >= count are all-zero (pad lanes read 0)."""
-    sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
-    return ((sub == jnp.broadcast_to(rank.astype(jnp.int32), (cb, cb)))
+    rank[src] == dst.  Rows dst >= count are all-zero (pad lanes read 0).
+    `sub_f`: optional precomputed [CB, CB] f32 sublane-index iota (rank
+    values are exact small integers, so the f32 compare is exact)."""
+    if sub_f is None:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
+        return ((sub == jnp.broadcast_to(rank.astype(jnp.int32), (cb, cb)))
+                & (jnp.broadcast_to(mask_f, (cb, cb)) != 0.0)).astype(BF16)
+    return ((sub_f == jnp.broadcast_to(rank, (cb, cb)))
             & (jnp.broadcast_to(mask_f, (cb, cb)) != 0.0)).astype(BF16)
 
 
@@ -235,8 +243,19 @@ def _seg_read(src3, off, case, dst_ref, sem, max_case: int):
             cp.wait()
 
 
+def _build_iota_scratch(klt_s, sub_s, cb: int):
+    """Fill the persistent [CB, CB] helpers once (grid step 0): strict-lower
+    bf16 matrix for rank matmuls + f32 sublane iota for one-hot builds."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cb, cb), 1)
+        klt_s[:] = (lane < sub).astype(BF16)
+        sub_s[:] = sub.astype(F32)
+
+
 def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
-                    ca, cd, sem_a, sem_d, *, cb: int):
+                    ca, cd, sem_a, sem_d, klt_s, sub_s, *, cb: int):
     """Forward pass, grid (NC,): compact chunk i's survivors to the global
     survivor prefix and harvest its retired rays into the dead array.
     zeros_in/dead_in are the aliased input views of the two outputs."""
@@ -249,17 +268,19 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
     case_d = meta_ref[row, M_CASE_D]
     off_d = meta_ref[row, M_OFF_D]
 
+    _build_iota_scratch(klt_s, sub_s, cb)
+
     @pl.when(cnt_a + cnt_d > 0)
     def _busy():
         st = st_ref[:]                                   # [16, CB]
         alive_f = (st[ROW_ALIVE:ROW_ALIVE + 1, :] != 0.0).astype(F32)
         dead_f = (st[ROW_DEAD:ROW_DEAD + 1, :] != 0.0).astype(F32)
-        rank_a, rank_d = _ranks(alive_f, dead_f, cb)
+        rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
 
         @pl.when(cnt_a > 0)
         def _alive():
             # dst lanes >= cnt_a get zeros (all-zero one-hot rows)
-            _tiles(ca, _permute(st, _onehot(rank_a, alive_f, cb),
+            _tiles(ca, _permute(st, _onehot(rank_a, alive_f, cb, sub_s[:]),
                                 compacting=True), cb // ALIGN)
             _seg_write(ca, out_hbm, off_a, case_a, sem_a, cb // ALIGN)
 
@@ -267,7 +288,7 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
         def _dead():
             # the dead array keeps only the 8-row payload (rows 8..15)
             _tiles(cd, _permute(st[ROW_ACC:ROW_ACC + 8],
-                                _onehot(rank_d, dead_f, cb),
+                                _onehot(rank_d, dead_f, cb, sub_s[:]),
                                 compacting=True), cb // ALIGN)
             _seg_write(cd, dead_hbm, off_d, case_d, sem_d, cb // ALIGN)
 
@@ -309,6 +330,8 @@ def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
             pltpu.VMEM((8, CBT, ALIGN), F32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cb, cb), BF16),
+            pltpu.VMEM((cb, cb), F32),
         ],
     )
 
@@ -327,7 +350,7 @@ def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
 
 
 def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
-                   sem_a, sem_d, *, cb: int):
+                   sem_a, sem_d, klt_s, sub_s, *, cb: int):
     """Inverse pass, grid (NC,): original lane i of this chunk re-reads its
     8-row payload from the compacted survivor prefix (alive) or the dead
     array (retired); gap lanes get zeros."""
@@ -339,13 +362,14 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
     case_d = meta_ref[row, M_CASE_D]
     off_d = meta_ref[row, M_OFF_D]
 
+    _build_iota_scratch(klt_s, sub_s, cb)
     out_ref[:] = jnp.zeros_like(out_ref)
 
     @pl.when(cnt_a + cnt_d > 0)
     def _busy():
         alive_f = (masks_ref[0:1, :] != 0.0).astype(F32)
         dead_f = (masks_ref[1:2, :] != 0.0).astype(F32)
-        rank_a, rank_d = _ranks(alive_f, dead_f, cb)
+        rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
 
         @pl.when(cnt_a > 0)
         def _ra():
@@ -360,9 +384,11 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
         # rows — and since the multiply happens in the integer byte domain,
         # garbage NaN/Inf bit patterns cannot leak (0 * byte == 0 exactly).
         ntile = cb // ALIGN
-        ga = _permute(_untile(sa, ntile), _onehot(rank_a, alive_f, cb),
+        ga = _permute(_untile(sa, ntile),
+                      _onehot(rank_a, alive_f, cb, sub_s[:]),
                       compacting=False)
-        gd = _permute(_untile(sd, ntile), _onehot(rank_d, dead_f, cb),
+        gd = _permute(_untile(sd, ntile),
+                      _onehot(rank_d, dead_f, cb, sub_s[:]),
                       compacting=False)
         out = jnp.where(jnp.broadcast_to(alive_f != 0.0, ga.shape), ga, gd)
         out_ref[:] = out
@@ -404,6 +430,8 @@ def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
             pltpu.VMEM((8, CBT, ALIGN), F32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cb, cb), BF16),
+            pltpu.VMEM((cb, cb), F32),
         ],
     )
 

@@ -52,8 +52,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compact import _onehot, _permute
+from .compact import STATE_ROWS, _onehot, _permute
 from .pages import PACK_LANES, PageTables
+from .shade import _shade_state_rows, scatter_rv
 
 F32 = jnp.float32
 BF16 = jnp.bfloat16
@@ -125,6 +126,79 @@ def _slab(ab_ref, o3, d3):
     return tlo, thi, page_ok
 
 
+def _trace_chunk(plt, plts, sub_p, ab_ref, o_v, d_v, a_v, excl_v, dst, P,
+                 RB, any_hit, sort_lanes):
+    """Winner rows for one chunk written into `dst` (a [16, RB] ref).
+
+    With sort_lanes, rows land in COUNT-SORTED lane order and the one-hot
+    permutation M is returned so the caller can invert it; otherwise rows
+    are in input order and None is returned.
+    """
+    if not sort_lanes:
+        dst[:] = jnp.zeros_like(dst)
+        for g in range(RB // GROUP):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            _group(plt, plts, sub_p, o_v[:, sl], d_v[:, sl], a_v[:, sl],
+                   excl_v[:, sl] if excl_v is not None else None,
+                   ab_ref, dst, sl, P, any_hit)
+        return None
+
+    # --- in-chunk count sort ---
+    # 1. per-lane page counts (slab only; recomputed per group below on
+    #    the permuted lanes — cheaper than permuting the hit matrices)
+    cnts = []
+    for g in range(RB // GROUP):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        tlo, thi, page_ok = _slab(ab_ref, o_v[:, sl], d_v[:, sl])
+        ent = (tlo <= thi) & (thi >= 0.0) & page_ok
+        cnts.append(jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
+                            axis=0, keepdims=True))
+    cnt = jnp.concatenate(cnts, axis=1)              # [1, RB]
+    alive_row = a_v[0:1, :]
+    cnt_eff = jnp.where(alive_row != 0.0, cnt, F32(1e9))  # gaps last
+
+    # 2. class masks + within-class ranks (one lower-triangular matmul,
+    #    exact: 0/1 bf16 products, f32 accumulation)
+    nbk = len(SORT_THRESH) + 1
+    qsum = jnp.zeros_like(cnt)
+    for thr in SORT_THRESH:
+        qsum = qsum + jnp.where(cnt_eff > F32(thr), F32(1.0), F32(0.0))
+    masks = jnp.concatenate(
+        [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
+         for q in range(nbk)], axis=0)               # [nbk, RB]
+    subq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 0)
+    laneq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 1)
+    klt = (laneq < subq).astype(BF16)
+    ranks = jax.lax.dot_general(
+        masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
+        preferred_element_type=F32)                  # [nbk, RB]
+    tot = jnp.sum(masks, axis=1, keepdims=True)      # [nbk, 1]
+
+    # 3. destination lane = class base + within-class rank -> one-hot
+    dest = jnp.zeros_like(cnt)
+    base = F32(0.0)
+    for q in range(nbk):
+        dest = dest + masks[q:q + 1] * (base + ranks[q:q + 1])
+        base = base + tot[q, 0]
+    M = _onehot(dest, jnp.ones_like(dest), RB)       # [dst, src] bf16
+
+    # 4. permute the 8 input rows (byte-split one-hot matmul: f32 bits
+    #    move untouched — ops/compact.py, verified bit-exact on chip)
+    in8 = jnp.concatenate(
+        [o_v, d_v, alive_row,
+         excl_v[0:1, :] if excl_v is not None else alive_row], axis=0)
+    p8 = _permute(in8, M, compacting=True)           # [8, RB]
+
+    # 5. trace the count-uniform groups into scratch
+    dst[:] = jnp.zeros_like(dst)
+    for g in range(RB // GROUP):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        _group(plt, plts, sub_p, p8[0:3, sl], p8[3:6, sl], p8[6:7, sl],
+               p8[7:8, sl] if excl_v is not None else None,
+               ab_ref, dst, sl, P, any_hit)
+    return M
+
+
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
             plts_ref, out_ref, sout, *, page_size: int, ray_chunk: int,
             exclude_id: bool, any_hit: bool, sort_lanes: bool):
@@ -138,72 +212,48 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
         plt = plt_ref[:]                                 # [17P, 128]
         plts = plts_ref[:]                               # [7P, 128]
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+        M = _trace_chunk(plt, plts, sub_p, ab_ref, o_ref[:], d_ref[:],
+                         a_ref[:], excl_ref[:] if exclude_id else None,
+                         sout if sort_lanes else out_ref, P, RB, any_hit,
+                         sort_lanes)
+        if sort_lanes:
+            # inverse permutation puts winner rows back in lane order
+            out_ref[:] = _permute(sout[:], M, compacting=False)
 
-        if not sort_lanes:
-            for g in range(RB // GROUP):
-                sl = slice(g * GROUP, (g + 1) * GROUP)
-                _group(plt, plts, sub_p, o_ref[:, sl], d_ref[:, sl],
-                       a_ref[:, sl],
-                       excl_ref[:, sl] if exclude_id else None,
-                       ab_ref, out_ref, sl, P, any_hit)
-            return
 
-        # --- in-chunk count sort ---
-        # 1. per-lane page counts (slab only; recomputed per group below on
-        #    the permuted lanes — cheaper than permuting the hit matrices)
-        cnts = []
-        for g in range(RB // GROUP):
-            sl = slice(g * GROUP, (g + 1) * GROUP)
-            tlo, thi, page_ok = _slab(ab_ref, o_ref[:, sl], d_ref[:, sl])
-            ent = (tlo <= thi) & (thi >= 0.0) & page_ok
-            cnts.append(jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
-                                axis=0, keepdims=True))
-        cnt = jnp.concatenate(cnts, axis=1)              # [1, RB]
-        alive_row = a_ref[0:1, :]
-        cnt_eff = jnp.where(alive_row != 0.0, cnt, F32(1e9))  # gaps last
+def _kernel_fused(flags_ref, seed_ref, st_ref, ab_ref, plt_ref, plts_ref,
+                  out_ref, sout, *, page_size: int, ray_chunk: int,
+                  fixed_rng: bool, weight_cutoff: float, sort_lanes: bool):
+    """Fused trace + shade: one grid step traces a chunk's rays AND applies
+    the wave's shading/scatter/state update while the winner rows are still
+    in VMEM.  The separate shade kernel costs ~5 ms/wave in block DMA alone
+    (every [16, R] block moves in and out regardless of chunk skipping);
+    here the rows never leave the chip memory hierarchy.  Input/output are
+    ops.compact state arrays [16, R]; dead chunks pass through."""
+    P = page_size
+    RB = ray_chunk
+    pid = pl.program_id(0)
+    row = jax.lax.rem(pid, 8)
+    live = flags_ref[row, 0] != 0
 
-        # 2. class masks + within-class ranks (one lower-triangular matmul,
-        #    exact: 0/1 bf16 products, f32 accumulation)
-        nbk = len(SORT_THRESH) + 1
-        qsum = jnp.zeros_like(cnt)
-        for thr in SORT_THRESH:
-            qsum = qsum + jnp.where(cnt_eff > F32(thr), F32(1.0), F32(0.0))
-        masks = jnp.concatenate(
-            [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
-             for q in range(nbk)], axis=0)               # [nbk, RB]
-        subq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 0)
-        laneq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 1)
-        klt = (laneq < subq).astype(BF16)
-        ranks = jax.lax.dot_general(
-            masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32)                  # [nbk, RB]
-        tot = jnp.sum(masks, axis=1, keepdims=True)      # [nbk, 1]
+    @pl.when(jnp.logical_not(live))
+    def _skip():
+        out_ref[:] = st_ref[:]
 
-        # 3. destination lane = class base + within-class rank -> one-hot
-        dest = jnp.zeros_like(cnt)
-        base = F32(0.0)
-        for q in range(nbk):
-            dest = dest + masks[q:q + 1] * (base + ranks[q:q + 1])
-            base = base + tot[q, 0]
-        M = _onehot(dest, jnp.ones_like(dest), RB)       # [dst, src] bf16
-
-        # 4. permute the 8 input rows (byte-split one-hot matmul: f32 bits
-        #    move untouched — ops/compact.py, verified bit-exact on chip)
-        in8 = jnp.concatenate(
-            [o_ref[:], d_ref[:], alive_row,
-             excl_ref[0:1, :] if exclude_id else alive_row], axis=0)
-        p8 = _permute(in8, M, compacting=True)           # [8, RB]
-
-        # 5. trace the count-uniform groups into scratch
-        sout[:] = jnp.zeros_like(sout)
-        for g in range(RB // GROUP):
-            sl = slice(g * GROUP, (g + 1) * GROUP)
-            _group(plt, plts, sub_p, p8[0:3, sl], p8[3:6, sl], p8[6:7, sl],
-                   p8[7:8, sl] if exclude_id else None,
-                   ab_ref, sout, sl, P, any_hit)
-
-        # 6. inverse permutation puts winner rows back in lane order
-        out_ref[:] = _permute(sout[:], M, compacting=False)
+    @pl.when(live)
+    def _busy():
+        st = st_ref[:]                                   # [16, RB]
+        plt = plt_ref[:]
+        plts = plts_ref[:]
+        sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+        M = _trace_chunk(plt, plts, sub_p, ab_ref, st[0:3], st[3:6],
+                         st[7:8], None, sout, P, RB, False, sort_lanes)
+        rows = _permute(sout[:], M, compacting=False) if sort_lanes \
+            else sout[:]
+        rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
+                                   fixed_rng)
+        out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, None,
+                                       weight_cutoff)
 
 
 def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
@@ -401,4 +451,67 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,
     )(*args)[0]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
+                                             "fixed_rng", "weight_cutoff",
+                                             "interpret", "sort_lanes"))
+def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
+                               page_size: int, ray_chunk: int,
+                               fixed_rng: bool, weight_cutoff: float,
+                               chunk_live=None, interpret: bool = False,
+                               sort_lanes=None):
+    """One bounce wave = trace + shade + state update, fused per chunk.
+
+    state: [16, R] (ops.compact layout; o rows 0..2, d rows 3..5, alive row
+    7); seed: [2] uint32 (key folded with the wave by the caller).  Returns
+    the post-wave state [16, R].  Not used for lights configs (the shadow
+    pass must run between trace and shade — engine keeps those unfused)."""
+    if sort_lanes is None:
+        sort_lanes = ray_chunk >= 2 * GROUP
+    RB = ray_chunk
+    R = state.shape[1]
+    NC = R // RB
+
+    if chunk_live is None:
+        chunk_live = jnp.ones((NC,), jnp.int32)
+    NC8 = -(-NC // 8) * 8
+    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+        chunk_live.astype(jnp.int32))
+    seed2 = jnp.zeros((1, 2), jnp.int32).at[0].set(seed.astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, PACK_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_INT * page_size, GROUP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_SHD * page_size, GROUP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TRACE_ROWS, RB), F32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_fused, page_size=page_size, ray_chunk=RB,
+                          fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
+                          sort_lanes=sort_lanes),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((STATE_ROWS, R), F32)],
+        interpret=interpret,
+    )(flags, seed2, state.astype(F32), ab, plt_i, plt_s)[0]
     return out

@@ -58,6 +58,146 @@ def _unit3(v0, v1, v2):
     return v0 * inv, v1 * inv, v2 * inv
 
 
+def scatter_rv(seed0, seed1, chunk, rb: int, fixed_rng: bool):
+    """Scatter direction source (`random_vec`, raytrace.rs:188-192).
+
+    fixed_rng: the compile-time constant shared with engine._shade_rows.
+    Otherwise: counter-based per-(key, wave, chunk, lane) uniforms via a
+    32-bit integer mixer (the lowbias32 finalizer) — identical bits under
+    interpret and Mosaic (pltpu.prng_* has no interpret lowering),
+    statistically ample for scatter jitter.
+    """
+    if fixed_rng:
+        return (jnp.full((1, rb), FIXED_RV[0], F32),
+                jnp.full((1, rb), FIXED_RV[1], F32),
+                jnp.full((1, rb), FIXED_RV[2], F32))
+    word = (jax.lax.broadcasted_iota(jnp.uint32, (3, rb), 0)
+            * jnp.uint32(rb)
+            + jax.lax.broadcasted_iota(jnp.uint32, (3, rb), 1))
+    x = word ^ seed1.astype(jnp.uint32)
+    x = x * jnp.uint32(747796405) + seed0.astype(jnp.uint32) \
+        + chunk.astype(jnp.uint32) * jnp.uint32(2654435761)
+    for mul, sh in ((0xED5AD4BB, 17), (0xAC4C1B51, 11), (0x31848BAB, 15)):
+        x = x ^ jnp.right_shift(x, jnp.uint32(sh))
+        x = x * jnp.uint32(mul)
+    x = x ^ jnp.right_shift(x, jnp.uint32(14))
+    u = jax.lax.bitcast_convert_type(
+        jnp.right_shift(x, jnp.uint32(9)) | jnp.uint32(0x3F800000),
+        F32) - 1.0                               # [3, RB] in [0,1)
+    v = u - 0.5
+    return _unit3(v[0:1], v[1:2], v[2:3])
+
+
+def shade_state_rows(st, rows, rv0, rv1, rv2, shd, weight_cutoff: float):
+    """One wave's shade + scatter + state update as a pure function of
+    values: st [16, RB] (ops.compact layout), rows [16, RB] trace winner
+    rows, rv* [1, RB] scatter source, shd optional [1, RB] shadow mask.
+    Returns the new [16, RB] state.  Mirrors engine._shade_rows op-for-op
+    (bit-exactness contract) — the standalone shade kernel and the fused
+    trace+shade kernel both call THIS, so they cannot drift apart.
+    """
+    return _shade_state_rows(st, rows, rv0, rv1, rv2, shd, weight_cutoff)
+
+
+def _shade_state_rows(st, rows, rv0, rv1, rv2, shd, weight_cutoff):
+    weight = st[ROW_W:ROW_W + 1]                     # [1, RB]
+    valid = st[ROW_ALIVE:ROW_ALIVE + 1] != 0.0
+    o = st[0:3]
+    d = st[3:6]
+    # --- _shade_rows, op-for-op ---
+    t = rows[ROW_T:ROW_T + 1]
+    miss = rows[ROW_ID:ROW_ID + 1] == 0.0
+    n0 = rows[ROW_NORM:ROW_NORM + 1]
+    n1 = rows[ROW_NORM + 1:ROW_NORM + 2]
+    n2 = rows[ROW_NORM + 2:ROW_NORM + 3]
+    enc = rows[ROW_ENC:ROW_ENC + 1]
+    # enc = kind + 4*edge + 8*back with small-int values: decode
+    # arithmetically (f32 mod/floor don't lower in Mosaic)
+    back = enc >= 8.0
+    e2 = enc - jnp.where(back, 8.0, 0.0)
+    edge = e2 >= 4.0
+    kind = e2 - jnp.where(edge, 4.0, 0.0)
+    c0 = rows[ROW_COLOR:ROW_COLOR + 1]
+    c1 = rows[ROW_COLOR + 1:ROW_COLOR + 2]
+    c2 = rows[ROW_COLOR + 2:ROW_COLOR + 3]
+    if shd is not None:
+        shadowed = shd != 0.0
+        c0 = jnp.where(shadowed, 0.0, c0)
+        c1 = jnp.where(shadowed, 0.0, c1)
+        c2 = jnp.where(shadowed, 0.0, c2)
+    alpha = rows[ROW_ALPHA:ROW_ALPHA + 1]
+    scat = rows[ROW_SCAT:ROW_SCAT + 1]
+
+    nf0 = jnp.where(back, -n0, n0)
+    nf1 = jnp.where(back, -n1, n1)
+    nf2 = jnp.where(back, -n2, n2)
+    is_scatter = (~miss) & (~edge) & ((kind == KIND_MATTE) |
+                                      (kind == KIND_REFLECTIVE))
+    is_terminal = valid & ~is_scatter
+    scatter_live = valid & is_scatter
+
+    s0 = jnp.where(edge, 0.0, c0)
+    s1 = jnp.where(edge, 0.0, c1)
+    s2 = jnp.where(edge, 0.0, c2)
+    tc0 = jnp.where(miss, F32(SKY_R), s0)
+    tc1 = jnp.where(miss, F32(SKY_G), s1)
+    tc2 = jnp.where(miss, F32(SKY_B), s2)
+    one_m_a = F32(1.0) - alpha
+    contrib0 = jnp.where(is_terminal, weight * tc0, 0.0) \
+        + jnp.where(scatter_live, weight * c0 * one_m_a, 0.0)
+    contrib1 = jnp.where(is_terminal, weight * tc1, 0.0) \
+        + jnp.where(scatter_live, weight * c1 * one_m_a, 0.0)
+    contrib2 = jnp.where(is_terminal, weight * tc2, 0.0) \
+        + jnp.where(scatter_live, weight * c2 * one_m_a, 0.0)
+    new_w = jnp.where(scatter_live, weight * alpha, weight)
+
+    p0 = o[0:1] + t * d[0:1]
+    p1 = o[1:2] + t * d[1:2]
+    p2 = o[2:3] + t * d[2:3]
+    m0, m1, m2 = _unit3(nf0 + rv0, nf1 + rv1, nf2 + rv2)
+    mo0 = p0 + rv0 * F32(0.001)
+    mo1 = p1 + rv1 * F32(0.001)
+    mo2 = p2 + rv2 * F32(0.001)
+    ddot = jnp.abs(d[0:1] * nf0 + d[1:2] * nf1 + d[2:3] * nf2)
+    r0, r1, r2 = _unit3(d[0:1] + 2.0 * nf0 * ddot + rv0 * scat,
+                        d[1:2] + 2.0 * nf1 * ddot + rv1 * scat,
+                        d[2:3] + 2.0 * nf2 * ddot + rv2 * scat)
+    ro0 = p0 + r0 * F32(0.001)
+    ro1 = p1 + r1 * F32(0.001)
+    ro2 = p2 + r2 * F32(0.001)
+
+    is_matte = kind == KIND_MATTE
+    no0 = jnp.where(is_matte, mo0, ro0)
+    no1 = jnp.where(is_matte, mo1, ro1)
+    no2 = jnp.where(is_matte, mo2, ro2)
+    nd0 = jnp.where(is_matte, m0, r0)
+    nd1 = jnp.where(is_matte, m1, r1)
+    nd2 = jnp.where(is_matte, m2, r2)
+
+    alive2 = scatter_live
+    if weight_cutoff > 0.0:
+        alive2 = alive2 & (new_w > F32(weight_cutoff))
+    died = valid & ~alive2
+    alive2_f = jnp.where(alive2, F32(1.0), F32(0.0))
+
+    return jnp.concatenate([
+        jnp.where(alive2, no0, o[0:1]),
+        jnp.where(alive2, no1, o[1:2]),
+        jnp.where(alive2, no2, o[2:3]),
+        jnp.where(alive2, nd0, d[0:1]),
+        jnp.where(alive2, nd1, d[1:2]),
+        jnp.where(alive2, nd2, d[2:3]),
+        new_w,
+        alive2_f,
+        st[ROW_ACC:ROW_ACC + 1] + contrib0,
+        st[ROW_ACC + 1:ROW_ACC + 2] + contrib1,
+        st[ROW_ACC + 2:ROW_ACC + 3] + contrib2,
+        jnp.maximum(st[ROW_DEAD:ROW_DEAD + 1],
+                    jnp.where(died, F32(1.0), F32(0.0))),
+        st[ROW_DEAD + 1:STATE_ROWS],
+    ], axis=0)
+
+
 def _kernel(flags_ref, seed_ref, st_ref, rows_ref, shd_ref, out_ref,
             *, fixed_rng: bool, weight_cutoff: float, has_shadow: bool):
     pid = pl.program_id(0)
@@ -73,134 +213,11 @@ def _kernel(flags_ref, seed_ref, st_ref, rows_ref, shd_ref, out_ref,
         st = st_ref[:]                                   # [16, RB]
         rows = rows_ref[:]                               # [16, RB]
         rb = st.shape[1]
-
-        o = st[0:3]
-        d = st[3:6]
-        weight = st[ROW_W:ROW_W + 1]                     # [1, RB]
-        valid = st[ROW_ALIVE:ROW_ALIVE + 1] != 0.0
-
-        # scatter direction (random_vec, raytrace.rs:188-192)
-        if fixed_rng:
-            rv0 = jnp.full((1, rb), FIXED_RV[0], F32)
-            rv1 = jnp.full((1, rb), FIXED_RV[1], F32)
-            rv2 = jnp.full((1, rb), FIXED_RV[2], F32)
-        else:
-            # Counter-based per-(key, wave, chunk, lane) uniforms via a
-            # 32-bit integer mixer (the lowbias32 finalizer): identical bits
-            # under interpret and Mosaic (pltpu.prng_* has no interpret
-            # lowering), statistically ample for scatter jitter.
-            chunk = pid.astype(jnp.uint32)
-            word = (jax.lax.broadcasted_iota(jnp.uint32, (3, rb), 0)
-                    * jnp.uint32(rb)
-                    + jax.lax.broadcasted_iota(jnp.uint32, (3, rb), 1))
-            x = word ^ seed_ref[0, 1].astype(jnp.uint32)
-            x = x * jnp.uint32(747796405) \
-                + seed_ref[0, 0].astype(jnp.uint32) \
-                + chunk * jnp.uint32(2654435761)
-            for mul, sh in ((0xED5AD4BB, 17), (0xAC4C1B51, 11),
-                            (0x31848BAB, 15)):
-                x = x ^ jnp.right_shift(x, jnp.uint32(sh))
-                x = x * jnp.uint32(mul)
-            x = x ^ jnp.right_shift(x, jnp.uint32(14))
-            u = jax.lax.bitcast_convert_type(
-                jnp.right_shift(x, jnp.uint32(9)) | jnp.uint32(0x3F800000),
-                F32) - 1.0                               # [3, RB] in [0,1)
-            v = u - 0.5
-            rv0, rv1, rv2 = _unit3(v[0:1], v[1:2], v[2:3])
-
-        # --- _shade_rows, op-for-op ---
-        t = rows[ROW_T:ROW_T + 1]
-        miss = rows[ROW_ID:ROW_ID + 1] == 0.0
-        n0 = rows[ROW_NORM:ROW_NORM + 1]
-        n1 = rows[ROW_NORM + 1:ROW_NORM + 2]
-        n2 = rows[ROW_NORM + 2:ROW_NORM + 3]
-        enc = rows[ROW_ENC:ROW_ENC + 1]
-        # enc = kind + 4*edge + 8*back with small-int values: decode
-        # arithmetically (f32 mod/floor don't lower in Mosaic)
-        back = enc >= 8.0
-        e2 = enc - jnp.where(back, 8.0, 0.0)
-        edge = e2 >= 4.0
-        kind = e2 - jnp.where(edge, 4.0, 0.0)
-        c0 = rows[ROW_COLOR:ROW_COLOR + 1]
-        c1 = rows[ROW_COLOR + 1:ROW_COLOR + 2]
-        c2 = rows[ROW_COLOR + 2:ROW_COLOR + 3]
-        if has_shadow:
-            shd = shd_ref[0:1, :] != 0.0
-            c0 = jnp.where(shd, 0.0, c0)
-            c1 = jnp.where(shd, 0.0, c1)
-            c2 = jnp.where(shd, 0.0, c2)
-        alpha = rows[ROW_ALPHA:ROW_ALPHA + 1]
-        scat = rows[ROW_SCAT:ROW_SCAT + 1]
-
-        nf0 = jnp.where(back, -n0, n0)
-        nf1 = jnp.where(back, -n1, n1)
-        nf2 = jnp.where(back, -n2, n2)
-        is_scatter = (~miss) & (~edge) & ((kind == KIND_MATTE) |
-                                          (kind == KIND_REFLECTIVE))
-        is_terminal = valid & ~is_scatter
-        scatter_live = valid & is_scatter
-
-        s0 = jnp.where(edge, 0.0, c0)
-        s1 = jnp.where(edge, 0.0, c1)
-        s2 = jnp.where(edge, 0.0, c2)
-        tc0 = jnp.where(miss, F32(SKY_R), s0)
-        tc1 = jnp.where(miss, F32(SKY_G), s1)
-        tc2 = jnp.where(miss, F32(SKY_B), s2)
-        one_m_a = F32(1.0) - alpha
-        contrib0 = jnp.where(is_terminal, weight * tc0, 0.0) \
-            + jnp.where(scatter_live, weight * c0 * one_m_a, 0.0)
-        contrib1 = jnp.where(is_terminal, weight * tc1, 0.0) \
-            + jnp.where(scatter_live, weight * c1 * one_m_a, 0.0)
-        contrib2 = jnp.where(is_terminal, weight * tc2, 0.0) \
-            + jnp.where(scatter_live, weight * c2 * one_m_a, 0.0)
-        new_w = jnp.where(scatter_live, weight * alpha, weight)
-
-        p0 = o[0:1] + t * d[0:1]
-        p1 = o[1:2] + t * d[1:2]
-        p2 = o[2:3] + t * d[2:3]
-        m0, m1, m2 = _unit3(nf0 + rv0, nf1 + rv1, nf2 + rv2)
-        mo0 = p0 + rv0 * F32(0.001)
-        mo1 = p1 + rv1 * F32(0.001)
-        mo2 = p2 + rv2 * F32(0.001)
-        ddot = jnp.abs(d[0:1] * nf0 + d[1:2] * nf1 + d[2:3] * nf2)
-        r0, r1, r2 = _unit3(d[0:1] + 2.0 * nf0 * ddot + rv0 * scat,
-                            d[1:2] + 2.0 * nf1 * ddot + rv1 * scat,
-                            d[2:3] + 2.0 * nf2 * ddot + rv2 * scat)
-        ro0 = p0 + r0 * F32(0.001)
-        ro1 = p1 + r1 * F32(0.001)
-        ro2 = p2 + r2 * F32(0.001)
-
-        is_matte = kind == KIND_MATTE
-        no0 = jnp.where(is_matte, mo0, ro0)
-        no1 = jnp.where(is_matte, mo1, ro1)
-        no2 = jnp.where(is_matte, mo2, ro2)
-        nd0 = jnp.where(is_matte, m0, r0)
-        nd1 = jnp.where(is_matte, m1, r1)
-        nd2 = jnp.where(is_matte, m2, r2)
-
-        alive2 = scatter_live
-        if weight_cutoff > 0.0:
-            alive2 = alive2 & (new_w > F32(weight_cutoff))
-        died = valid & ~alive2
-        alive2_f = jnp.where(alive2, F32(1.0), F32(0.0))
-
-        out_ref[0:1, :] = jnp.where(alive2, no0, o[0:1])
-        out_ref[1:2, :] = jnp.where(alive2, no1, o[1:2])
-        out_ref[2:3, :] = jnp.where(alive2, no2, o[2:3])
-        out_ref[3:4, :] = jnp.where(alive2, nd0, d[0:1])
-        out_ref[4:5, :] = jnp.where(alive2, nd1, d[1:2])
-        out_ref[5:6, :] = jnp.where(alive2, nd2, d[2:3])
-        out_ref[ROW_W:ROW_W + 1, :] = new_w
-        out_ref[ROW_ALIVE:ROW_ALIVE + 1, :] = alive2_f
-        out_ref[ROW_ACC:ROW_ACC + 1, :] = st[ROW_ACC:ROW_ACC + 1] + contrib0
-        out_ref[ROW_ACC + 1:ROW_ACC + 2, :] = \
-            st[ROW_ACC + 1:ROW_ACC + 2] + contrib1
-        out_ref[ROW_ACC + 2:ROW_ACC + 3, :] = \
-            st[ROW_ACC + 2:ROW_ACC + 3] + contrib2
-        out_ref[ROW_DEAD:ROW_DEAD + 1, :] = jnp.maximum(
-            st[ROW_DEAD:ROW_DEAD + 1],
-            jnp.where(died, F32(1.0), F32(0.0)))
-        out_ref[ROW_DEAD + 1:STATE_ROWS, :] = st[ROW_DEAD + 1:STATE_ROWS]
+        rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, rb,
+                                   fixed_rng)
+        shd = shd_ref[0:1, :] if has_shadow else None
+        out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, shd,
+                                       weight_cutoff)
 
 
 @functools.partial(jax.jit, static_argnames=("rb", "fixed_rng",

@@ -28,7 +28,7 @@ F32 = jnp.float32
 def main():
     print("device:", jax.devices()[0], flush=True)
     scene, vp = teapot.build(resolution="2k")
-    rb, ps = 1024, 64
+    rb, ps = 1024, 56
     eng = Engine(scene, page_size=ps, ray_chunk=rb)
 
     key = jax.random.PRNGKey(0)

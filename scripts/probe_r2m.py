@@ -34,7 +34,7 @@ def timeit(f, sync, n=3):
 def main():
     print("device:", jax.devices()[0], flush=True)
     scene, vp = teapot.build(resolution="2k")
-    rb, ps = 1024, 64
+    rb, ps = 1024, 56
     eng = Engine(scene, page_size=ps, ray_chunk=rb)
 
     key = jax.random.PRNGKey(0)
