@@ -51,7 +51,8 @@ from .ops.compact import (DEFAULT_CB, ROW_ACC, ROW_ALIVE, ROW_DEAD, ROW_W,
 from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
                                    ROW_NORM, ROW_SCAT, ROW_T,
                                    TRACE_ROWS as TRACE_ROWS_TOTAL,
-                                   fold_pages_origin, trace_chunks_pallas)
+                                   fold_pages_origin, trace_chunks_pallas,
+                                   trace_shade_chunks_pallas)
 from .ops.intersect_perlane import (build_perlane_tables,
                                     trace_perlane_pallas,
                                     trace_shade_perlane_pallas)
@@ -487,15 +488,22 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
             plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
             ptmin = jnp.take_along_axis(tmin, plist, axis=1)
-            if wave == 0 and pk0 is not None:
-                rows = trace_chunks_pallas(o_w, d_w, pk0, counts, plist,
+            zo = wave == 0 and pk0 is not None
+            pk_use = pk0 if zo else st.PK
+            if not has_lights and not (wave == 0 and want_primary):
+                # fused union trace + shade (same fusion rationale as the
+                # per-lane bounce path; shade reads the TRUE origin from
+                # state rows 0..2 even when the trace runs zero_origin)
+                state = trace_shade_chunks_pallas(
+                    state, pk_use, counts, plist, ptmin, seed, page_size,
+                    rb_w, fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
+                    interpret=interpret, zero_origin=zo, nbuf=nbuf)
+                rows = None
+            else:
+                rows = trace_chunks_pallas(o_w, d_w, pk_use, counts, plist,
                                            ptmin, page_size, rb_w,
                                            interpret=interpret,
-                                           zero_origin=True, nbuf=nbuf)
-            else:
-                rows = trace_chunks_pallas(o_w, d_w, st.PK, counts, plist,
-                                           ptmin, page_size, rb_w,
-                                           interpret=interpret, nbuf=nbuf)
+                                           zero_origin=zo, nbuf=nbuf)
         if wave == 0 and want_primary:
             primary = rows[ROW_T:ROW_ID + 1]
             if "trace" not in profile_skip:

@@ -279,9 +279,16 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
 
         @pl.when(cnt_a > 0)
         def _alive():
-            # dst lanes >= cnt_a get zeros (all-zero one-hot rows)
-            _tiles(ca, _permute(st, _onehot(rank_a, alive_f, cb, sub_s[:]),
-                                compacting=True), cb // ALIGN)
+            # dst lanes >= cnt_a get zeros (all-zero one-hot rows).  Only
+            # the 12 meaningful state rows are permuted (o, d, w, alive,
+            # accum, dead); the spare rows 12..15 are never read after a
+            # compaction, so they land as zeros — 25% less byte-plane matmul.
+            p12 = _permute(st[0:ROW_CODE],
+                           _onehot(rank_a, alive_f, cb, sub_s[:]),
+                           compacting=True)
+            _tiles(ca, jnp.concatenate(
+                [p12, jnp.zeros((STATE_ROWS - ROW_CODE, cb), F32)], axis=0),
+                cb // ALIGN)
             _seg_write(ca, out_hbm, off_a, case_a, sem_a, cb // ALIGN)
 
         @pl.when(cnt_d > 0)
@@ -475,6 +482,8 @@ def compact_oracle(state, dead_arr, cb: int, dead_base: int):
                    cnt_d, pad_d // ALIGN, off_d, 0, 0]
         if off_a + cnt_a <= R:
             new_state[:, off_a:off_a + cnt_a] = state[:, ia]
+            # kernel contract: spare rows 12..15 are not carried
+            new_state[ROW_CODE:, off_a:off_a + cnt_a] = 0.0
         new_dead[:, off_d:off_d + cnt_d] = state[ROW_ACC:ROW_ACC + 8, idd]
         off_a += pad_a
         off_d += pad_d

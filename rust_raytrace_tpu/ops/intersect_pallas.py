@@ -212,12 +212,24 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, *rest, page_size: int,
         excl_ref, pk_hbm, out_ref, S, pk_buf, sem = rest
     else:
         pk_hbm, out_ref, S, pk_buf, sem = rest
+    _trace_pages(meta_ref, ptmin_ref, o_ref[:], d_ref[:],
+                 excl_ref[0:1, :] if exclude_id else None, pk_hbm, S,
+                 pk_buf, sem, page_size=page_size, zero_origin=zero_origin,
+                 nbuf=nbuf)
+    out_ref[:] = S[:]
+
+
+def _trace_pages(meta_ref, ptmin_ref, o_v, d_v, excl_v, pk_hbm, S, pk_buf,
+                 sem, *, page_size: int, zero_origin: bool, nbuf: int):
+    """The page-streaming trace loop of _kernel_trace, factored so the fused
+    trace+shade kernel below shares it verbatim.  Winner state lands in the
+    S scratch [16, RB]."""
     P = page_size
     row = jax.lax.rem(pl.program_id(0), 8)
     n = meta_ref[row, 0]
 
-    o0, o1, o2 = (o_ref[k:k + 1, :] for k in range(3))   # [1, RB]
-    d0r, d1r, d2r = (d_ref[k:k + 1, :] for k in range(3))
+    o0, o1, o2 = (o_v[k:k + 1, :] for k in range(3))     # [1, RB]
+    d0r, d1r, d2r = (d_v[k:k + 1, :] for k in range(3))
     lane_valid = (d0r != 0.0) | (d1r != 0.0) | (d2r != 0.0)
 
     S[0:1, :] = jnp.where(lane_valid, jnp.inf, -jnp.inf)     # ROW_T
@@ -275,8 +287,8 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, *rest, page_size: int,
                 + t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
 
         hit = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
-        if exclude_id:
-            hit = hit & (col(LANE_ID) != excl_ref[0:1, :])
+        if excl_v is not None:
+            hit = hit & (col(LANE_ID) != excl_v)
         tt = jnp.where(hit, t, jnp.inf)
 
         page_min = jnp.min(tt, axis=0, keepdims=True)        # [1, RB]
@@ -334,7 +346,27 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, *rest, page_size: int,
         def _drain(w=w):
             dma(jax.lax.rem(k_f + w, NBUF), k_f + w).wait()
 
-    out_ref[:] = S[:]
+
+def _kernel_trace_shade(meta_ref, ptmin_ref, seed_ref, st_ref, pk_hbm,
+                        out_ref, S, pk_buf, sem, *, page_size: int,
+                        zero_origin: bool, nbuf: int, fixed_rng: bool,
+                        weight_cutoff: float):
+    """Fused union trace + shade: the page-streaming trace followed by the
+    wave's shading/scatter/state update while the winner rows sit in the S
+    scratch — used for wave 0 (and NP > 128 bounce waves) when no shadow
+    pass or primary-debug capture is needed.  st/out: ops.compact state
+    blocks [16, RB]."""
+    from .shade import _shade_state_rows, scatter_rv
+
+    pid = pl.program_id(0)
+    st = st_ref[:]
+    _trace_pages(meta_ref, ptmin_ref, st[0:3], st[3:6], None, pk_hbm, S,
+                 pk_buf, sem, page_size=page_size, zero_origin=zero_origin,
+                 nbuf=nbuf)
+    rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid,
+                               st.shape[1], fixed_rng)
+    out_ref[:] = _shade_state_rows(st, S[:], rv0, rv1, rv2, None,
+                                   weight_cutoff)
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
@@ -411,4 +443,67 @@ def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
         interpret=interpret,
     )(*args)[0]
 
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
+                                             "interpret", "zero_origin",
+                                             "nbuf", "fixed_rng",
+                                             "weight_cutoff"))
+def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
+                              page_size: int, ray_chunk: int,
+                              fixed_rng: bool, weight_cutoff: float,
+                              interpret: bool = False,
+                              zero_origin: bool = False, nbuf: int = 2):
+    """Fused form of trace_chunks_pallas + ops.shade for waves that need no
+    shadow pass or primary-row capture: one wave = cull lists -> trace ->
+    shade -> state update, with the winner rows never leaving VMEM.
+
+    state: [16, R] ops.compact layout (o rows 0..2 — or the folded pinhole
+    when zero_origin — d rows 3..5, alive row 7); seed: [2] uint32.
+    Returns the post-wave state [16, R]."""
+    RB = ray_chunk
+    R = state.shape[1]
+    NC = R // RB
+    NP = PK.shape[0]
+
+    NC8 = -(-NC // 8) * 8
+    meta = jnp.zeros((NC8, 1 + NP), jnp.int32)
+    meta = meta.at[:NC, 0].set(counts.astype(jnp.int32))
+    meta = meta.at[:NC, 1:].set(plist.astype(jnp.int32))
+    ptm = jnp.full((NC8, NP), jnp.inf, F32).at[:NC].set(ptmin.astype(F32))
+    seed2 = jnp.zeros((1, 2), jnp.int32).at[0].set(seed.astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((8, 1 + NP), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, NP), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # PK stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TRACE_ROWS, RB), F32),
+            pltpu.VMEM((nbuf, page_size, 128), F32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_trace_shade, page_size=page_size,
+                          zero_origin=zero_origin, nbuf=nbuf,
+                          fixed_rng=fixed_rng, weight_cutoff=weight_cutoff),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
+        interpret=interpret,
+    )(meta, ptm, seed2, state.astype(F32), PK)[0]
     return out

@@ -299,10 +299,27 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
         def body(carry):
             work, hit_f, best_t, best_id, best_pg = carry
             del work
-            # priority-encode each lane's first remaining page
-            pidx = jnp.min(jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
-                           axis=0, keepdims=True)        # [1, 128]
-            has = pidx < F32(GROUP)
+            if any_hit:
+                # occlusion: any order works — cheapest selection
+                pidx = jnp.min(jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
+                               axis=0, keepdims=True)    # [1, 128]
+                has = pidx < F32(GROUP)
+            else:
+                # front-to-back: each lane's nearest-entry page first (the
+                # reference's traversal order, raytrace.rs:941-947) so the
+                # tlo > best_t cut below retires the rest early.  Greedy
+                # per-step min — an explicit bitonic presort measured ~12%
+                # slower (docs/PERF.md finding #6).  Sentinel is +inf: a
+                # hit page's tlo is finite (but can exceed any fixed BIG
+                # when an axis has d == 0).
+                tkey = jnp.where(hit_f > 0.0, tlo, jnp.inf)
+                kmin = jnp.min(tkey, axis=0, keepdims=True)
+                has = kmin < jnp.inf
+                pidx = jnp.where(
+                    has,
+                    jnp.min(jnp.where(tkey == kmin, page_f2, F32(GROUP)),
+                            axis=0, keepdims=True),
+                    F32(GROUP))                          # [1, 128]
             page = jnp.where(has, pidx, 0.0)
             idx = jnp.broadcast_to(page.astype(jnp.int32), plt.shape)
             G = jnp.take_along_axis(plt, idx, axis=1)    # [17P, 128]
