@@ -84,10 +84,15 @@ def test_roundtrip_expand():
     exp = C.expand_oracle(y, np.asarray(new_dead), st[C.ROW_ALIVE],
                           st[C.ROW_DEAD], np.asarray(meta), cb)
     np.testing.assert_array_equal(out, exp)
-    # alive lanes: payload round-trips bit-exactly
-    np.testing.assert_array_equal(out[:, alive],
-                                  st[C.ROW_ACC:C.ROW_ACC + 8][:, alive])
-    # dead lanes: payload comes back from the dead array bit-exactly
+    # alive lanes: the MEANINGFUL payload rows (accum + dead flag, state
+    # rows 8..11) round-trip bit-exactly; the spare rows 12..15 are not
+    # carried by the forward pass (always zero in the engine) and come
+    # back as zeros
+    nm = C.ROW_CODE - C.ROW_ACC
+    np.testing.assert_array_equal(
+        out[:nm][:, alive], st[C.ROW_ACC:C.ROW_CODE][:, alive])
+    assert (out[nm:][:, alive] == 0).all()
+    # dead lanes: the harvest keeps the full 8-row payload bit-exactly
     np.testing.assert_array_equal(out[:, dead],
                                   st[C.ROW_ACC:C.ROW_ACC + 8][:, dead])
     # gap lanes zero
