@@ -557,8 +557,9 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             oflows.append(overflow)
 
     # Reassemble: walk the permutations backward so accum lands back in
-    # original tile order (rows 0..2 of the 8-row payload = accum).
-    y = state[ROW_ACC:ROW_ACC + 8]
+    # original tile order.  Only rows 8..11 (accum + dead flag) matter for
+    # the image — half the expansion payload of the full 8-row harvest.
+    y = state[ROW_ACC:ROW_ACC + 4]
     if "expand" not in profile_skip:
         for w in range(len(metas) - 1, -1, -1):
             def _exp(y=y, w=w):

@@ -359,8 +359,10 @@ def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
 def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
                    sem_a, sem_d, klt_s, sub_s, *, cb: int):
     """Inverse pass, grid (NC,): original lane i of this chunk re-reads its
-    8-row payload from the compacted survivor prefix (alive) or the dead
-    array (retired); gap lanes get zeros."""
+    payload rows from the compacted survivor prefix (alive) or the dead
+    array (retired); gap lanes get zeros.  Row count follows the y/output
+    block shape (the engine reassembles only accum+dead = 4 rows; the
+    compact tests exercise the full 8)."""
     row = jax.lax.rem(pl.program_id(0), 8)
     cnt_a = meta_ref[row, M_CNT_A]
     case_a = meta_ref[row, M_CASE_A]
@@ -404,11 +406,14 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))
 def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
                   interpret: bool = False):
-    """Reverse one wave's compaction for the 8-row payload (state rows 8..15,
-    i.e. accum+dead).  y: [8, R] in POST-compaction order; masks: [2, R]
-    (alive; dead rows recorded PRE-compaction); meta: that wave's meta.
-    Returns [8, R] in PRE-compaction order.
+    """Reverse one wave's compaction for the payload rows.
+
+    y: [ROWS, R] in POST-compaction order (ROWS <= 8, leading rows of the
+    state-rows-8.. payload — the engine passes 4: accum + dead flag);
+    masks: [2, R] (alive; dead rows recorded PRE-compaction); meta: that
+    wave's meta.  Returns [ROWS, R] in PRE-compaction order.
     """
+    rows = y.shape[0]
     R = y.shape[1]
     RD = dead_arr.shape[1]
     NC = R // cb
@@ -416,8 +421,8 @@ def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
     NC8 = -(-NC // 8) * 8
     meta8 = jnp.zeros((NC8, META_COLS), jnp.int32).at[:NC].set(meta)
 
-    y3 = y.reshape(8, R // ALIGN, ALIGN)
-    dead3 = dead_arr.reshape(8, RD // ALIGN, ALIGN)
+    y3 = y.reshape(rows, R // ALIGN, ALIGN)
+    dead3 = dead_arr[0:rows].reshape(rows, RD // ALIGN, ALIGN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -430,11 +435,12 @@ def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
             pl.BlockSpec(memory_space=pltpu.ANY),   # dead stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((8, cb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, CBT, ALIGN), F32),
-            pltpu.VMEM((8, CBT, ALIGN), F32),
+            pltpu.VMEM((rows, CBT, ALIGN), F32),
+            pltpu.VMEM((rows, CBT, ALIGN), F32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((cb, cb), BF16),
@@ -445,7 +451,7 @@ def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
     out = pl.pallas_call(
         functools.partial(_kernel_expand, cb=cb),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((8, R), F32)],
+        out_shape=[jax.ShapeDtypeStruct((rows, R), F32)],
         interpret=interpret,
     )(meta8, masks, y3, dead3)[0]
     return out

@@ -20,7 +20,7 @@ def main():
         ("teapot", "4k", {}),
         ("circles", "2k", {}),
         ("multi", "2k", {}),
-        ("teapot", "720p", {"samples": 4}),
+        ("teapot", "sd", {"samples": 4}),
         ("teapot", "2k", {"with_light": True}),
     ]
     for scene_name, res, kw in configs:
