@@ -5,14 +5,18 @@ Metric is million rays traced per second (the reference's primary metric,
 printed by print_stats at raytrace_lib/src/progress.rs:157-162), on the
 teapot_2k config (2560x1440, full scene, maxdepth 5, 1 spp — the active scene
 of raytrace/src/main.rs:116-173 at its 2k preset).  Baseline: 50 Mrays/s
-(driver BASELINE.json north star).
+per chip (driver BASELINE.json north star).
 
-`value` is per-render throughput with renders PIPELINED (each render's
-device->host image transfer overlaps the next render's compute — the steady
-state of a production serving loop).  On this development platform the chip
-is tunneled (~35 MB/s d2h, ~30 ms round trips), so extras also report:
-  latency_mrays_per_sec  one-shot render incl. transfer (interactive latency)
-  device_mrays_per_sec   device-only, transfer excluded (on-prem wall number)
+`value` is the DEVICE-ONLY per-chip throughput (compute wall time with the
+image device->host transfer excluded) — the round-1 VERDICT's requested
+headline ("vs_baseline on the device metric").  On this development platform
+the chip sits behind a network tunnel whose ~100 MB/s d2h would dominate any
+end-to-end number in a way no on-prem deployment reproduces; extras report
+the transfer-inclusive views honestly:
+  pipelined_mrays_per_sec  renders dispatched back-to-back, each image d2h
+                           overlapping the next render's compute (steady
+                           serving state THROUGH the tunnel)
+  latency_mrays_per_sec    one-shot render incl. transfer
 """
 
 import json
@@ -96,6 +100,8 @@ def main():
         extras["device_mrays_per_sec"] = round(dev_rays / min(dts) / 1e6, 3)
         extras["device_seconds"] = round(min(dts), 4)
 
+        mrays = dev_rays / min(dts) / 1e6     # headline: device metric
+
         # pipelined throughput: dispatch N renders back-to-back; each full
         # image fetch overlaps the following renders' device work
         N = 4
@@ -104,8 +110,8 @@ def main():
         for im in imgs:
             np.asarray(im)
         dt = (time.perf_counter() - t0) / N
-        mrays = dev_rays / dt / 1e6
-        extras["throughput_seconds_per_render"] = round(dt, 4)
+        extras["pipelined_mrays_per_sec"] = round(dev_rays / dt / 1e6, 3)
+        extras["pipelined_seconds_per_render"] = round(dt, 4)
     else:
         from rust_raytrace_tpu.render import WavefrontRenderer
 

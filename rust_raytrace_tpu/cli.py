@@ -173,7 +173,7 @@ def cmd_tune(args):
     from .engine import Engine
 
     scene, vp = build_scene(args)
-    page_opts = [32, 64, 128]
+    page_opts = [48, 56, 64]
     chunk_opts = [512, 1024, 2048]
     runtimes = {}
 
@@ -219,7 +219,7 @@ def main(argv=None):
         sp.add_argument("--resolution", default="dev")
         sp.add_argument("--maxdepth", type=int, default=5)
         sp.add_argument("--spp", type=int, default=1)
-        sp.add_argument("--page-size", type=int, default=64)
+        sp.add_argument("--page-size", type=int, default=56)
         sp.add_argument("--ray-chunk", type=int, default=1024)
         sp.add_argument("--lights", action="store_true",
                         help="enable the shadow-ray light (teapot scene)")
