@@ -113,6 +113,47 @@ void rt_morton_order(const float* incenter, int64_t n, int64_t* out) {
   for (int64_t i = 0; i < n - 1; ++i) out[i] = keyed[i].second;
 }
 
+// KD page ordering (pages.py kd_order): recursive longest-axis median splits
+// of the centroids, every split aligned to a page multiple.  Exact behavioral
+// copy of the numpy version (stable sort along the chosen axis, first-max
+// axis tie rule, nl = (ceil(n/P)/2)*P), so the two paths emit identical
+// orders and the differential test can assert equality.
+static void kd_rec(const float* c, int64_t* ids, int64_t n, int64_t page,
+                   int64_t** out_cursor) {
+  if (n <= page) {
+    std::copy(ids, ids + n, *out_cursor);
+    *out_cursor += n;
+    return;
+  }
+  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < n; ++i)
+    for (int k = 0; k < 3; ++k) {
+      float v = c[ids[i] * 3 + k];
+      lo[k] = std::min(lo[k], v);
+      hi[k] = std::max(hi[k], v);
+    }
+  int axis = 0;
+  float best = hi[0] - lo[0];
+  for (int k = 1; k < 3; ++k)
+    if (hi[k] - lo[k] > best) { best = hi[k] - lo[k]; axis = k; }
+  int64_t kpages = (n + page - 1) / page;
+  int64_t nl = (kpages / 2) * page;
+  std::stable_sort(ids, ids + n, [c, axis](int64_t a, int64_t b) {
+    return c[a * 3 + axis] < c[b * 3 + axis];
+  });
+  kd_rec(c, ids, nl, page, out_cursor);
+  kd_rec(c, ids + nl, n - nl, page, out_cursor);
+}
+
+void rt_kd_order(const float* incenter, int64_t n, int64_t page_size,
+                 int64_t* out) {
+  if (n <= 1) return;
+  std::vector<int64_t> ids(n - 1);
+  for (int64_t i = 1; i < n; ++i) ids[i - 1] = i;
+  int64_t* cursor = out;
+  kd_rec(incenter, ids.data(), n - 1, page_size, &cursor);
+}
+
 // ---------------------------------------------------------------------------
 // Octree build (build_bounding_box, raytrace.rs:790-845) with the reference's
 // box_contains_polygon / face_contains_triangle predicates (:645-779).

@@ -214,6 +214,12 @@ def kd_order(tris: TriangleArrays, page_size: int) -> np.ndarray:
     (build_bounding_box, raytrace.rs:790-845) without its triangle
     duplication.  Sentinel slot 0 stays excluded (raytrace.rs:791).
     """
+    from ..utils import native
+    if len(tris) >= 1024 and native.available():
+        nat = native.kd_order_native(tris.incenter, page_size)
+        if nat is not None:
+            return nat
+
     c = tris.incenter
 
     out = []

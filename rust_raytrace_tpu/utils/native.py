@@ -72,6 +72,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rt_make_triangles.argtypes = [F32P, ctypes.c_int64, F32P, F32P, F32P,
                                       F32P, F32P]
     lib.rt_morton_order.argtypes = [F32P, ctypes.c_int64, I64P]
+    lib.rt_kd_order.argtypes = [F32P, ctypes.c_int64, ctypes.c_int64, I64P]
     lib.rt_build_octree.argtypes = [
         F32P, F32P, F32P, ctypes.c_int64, F32P, ctypes.c_float,
         ctypes.c_int32, ctypes.c_int32,
@@ -114,6 +115,18 @@ def morton_order_native(incenter: np.ndarray):
     n = inc.shape[0]
     out = np.empty(max(n - 1, 0), np.int64)
     lib.rt_morton_order(inc, n, out)
+    return out
+
+
+def kd_order_native(incenter: np.ndarray, page_size: int):
+    """C++ KD page ordering (behavioral copy of pages.kd_order) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    inc = np.ascontiguousarray(incenter, dtype=np.float32)
+    n = inc.shape[0]
+    out = np.empty(max(n - 1, 0), np.int64)
+    lib.rt_kd_order(inc, n, int(page_size), out)
     return out
 
 
