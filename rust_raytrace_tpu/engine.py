@@ -440,7 +440,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     wave_counts = []
     primary = None
     cull0 = None
-    metas, masks_list, oflows = [], [], []
+    metas, masks_list = [], []
 
     for wave in range(maxdepth):
         # Bounce waves run on smaller chunks: compaction packs survivors
@@ -531,18 +531,15 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                 interpret=interpret)
 
         if wave < maxdepth - 1 and "compact" not in profile_skip:
+            # No lax.cond here: a cond around the [16, R] state + dead-array
+            # operands costs ~3 ms/wave in XLA branch copies (profiler);
+            # the rare overflow case (>~87% survivors) rides meta's M_IDENT
+            # flag and becomes an in-kernel identity pass-through.
             meta, total_a, overflow, dead_end = compact_meta(
                 state[ROW_ALIVE], state[ROW_DEAD], cb, dead_base, R)
             masks2 = jnp.stack([state[ROW_ALIVE], state[ROW_DEAD]])
-
-            def _do(state=state, dead_arr=dead_arr, meta=meta):
-                return compact_pallas(state, dead_arr, meta, cb=cb,
-                                      interpret=interpret)
-
-            def _skip(state=state, dead_arr=dead_arr, meta=meta):
-                return state, dead_arr
-
-            state, dead_arr = jax.lax.cond(overflow, _skip, _do)
+            state, dead_arr = compact_pallas(state, dead_arr, meta, cb=cb,
+                                             interpret=interpret)
             dead_base = jnp.where(overflow, dead_base, dead_end)
             rb_next = bounce_rb if bounce_rb else RB
             nc_next = R // rb_next
@@ -554,7 +551,6 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                           < live_nc).astype(jnp.int32)
             metas.append(meta)
             masks_list.append(masks2)
-            oflows.append(overflow)
 
     # Reassemble: walk the permutations backward so accum lands back in
     # original tile order.  Only rows 8..11 (accum + dead flag) matter for
@@ -562,14 +558,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     y = state[ROW_ACC:ROW_ACC + 4]
     if "expand" not in profile_skip:
         for w in range(len(metas) - 1, -1, -1):
-            def _exp(y=y, w=w):
-                return expand_pallas(y, dead_arr, masks_list[w], metas[w],
-                                     cb=cb, interpret=interpret)
-
-            def _id(y=y, w=w):
-                return y
-
-            y = jax.lax.cond(oflows[w], _id, _exp)
+            y = expand_pallas(y, dead_arr, masks_list[w], metas[w],
+                              cb=cb, interpret=interpret)
 
     img = y[0:3]
     if quantize:

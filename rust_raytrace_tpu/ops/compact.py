@@ -43,8 +43,10 @@ rank-gather, ~the cost of the forward pass, leaving the image in original
 tile order with no host-side bookkeeping and no ray-scale gathers ever.
 
 Safety: if a wave's survivors + alignment padding exceed R (only possible
-when >~87% of rays survive), the caller skips that wave's compaction
-(identity); the cumulative `dead` row guarantees no retired ray is lost.
+when >~87% of rays survive), the wave becomes an in-kernel identity
+pass-through (meta column M_IDENT — no lax.cond at the call site, whose
+branch copies of the [16, R] + dead operands cost ~3 ms/wave); the
+cumulative `dead` row guarantees no retired ray is lost.
 The dead array is sized 2R: total genuine retirements are <= R (each ray
 retires once) and per-wave alignment slack is bounded by 127 lanes/chunk.
 """
@@ -75,7 +77,7 @@ DEFAULT_CB = 512
 ALIGN = 128
 
 #: meta columns (int32)
-M_CNT_A, M_CASE_A, M_OFF_A, M_CNT_D, M_CASE_D, M_OFF_D = range(6)
+M_CNT_A, M_CASE_A, M_OFF_A, M_CNT_D, M_CASE_D, M_OFF_D, M_IDENT = range(7)
 META_COLS = 8
 
 #: bucketed ("ray sorting") variant — survivors are grouped BUCKET-MAJOR by
@@ -108,7 +110,10 @@ def compact_meta(alive, dead, cb: int, dead_base, R: int):
 
     Returns (meta [NC, META_COLS] int32, total_a, overflow, dead_end).
     total_a = lanes occupied by the survivor prefix (128-aligned per chunk);
-    overflow = total_a > R (caller must then skip compaction this wave);
+    overflow = total_a > R — recorded into meta column M_IDENT so the
+    KERNEL falls back to an identity pass-through (no harvest) for that
+    wave; no lax.cond at the call site (a cond around [16, R] + dead-array
+    operands costs ~3 ms/wave in XLA branch copies — profiler-measured);
     dead_end = dead_base + this wave's padded dead lanes.
     """
     NC = R // cb
@@ -123,9 +128,10 @@ def compact_meta(alive, dead, cb: int, dead_base, R: int):
     total_a = cs_a[-1]
     dead_end = dead_base.astype(jnp.int32) + cs_d[-1]
     overflow = total_a > R
+    ident = jnp.broadcast_to(overflow.astype(jnp.int32), cnt_a.shape)
     meta = jnp.stack([cnt_a, pad_a // ALIGN, off_a,
                       cnt_d, pad_d // ALIGN, off_d,
-                      jnp.zeros_like(cnt_a), jnp.zeros_like(cnt_a)], axis=1)
+                      ident, jnp.zeros_like(cnt_a)], axis=1)
     return meta, total_a, overflow, dead_end
 
 
@@ -184,17 +190,31 @@ def _from_bytes(parts, rows: int):
     return jax.lax.bitcast_convert_type(out, F32)
 
 
-def _permute(vals, onehot, compacting: bool):
+#: permutation matmul flavor.  "f32" (a single fp32-HIGHEST matmul per
+#: permute, ~3x fewer MXU passes + no byte pack/unpack) was built and
+#: MEASURED NON-EXACT: the matmul path flushes DENORMAL f32 payloads to
+#: zero (max diff ~1.1e-38 on full-entropy tests, relative diff 1.0), and
+#: 0 * inf would leak NaN across lanes through the MXU accumulation.  The
+#: byte-split domain is immune to both by construction (every plane is an
+#: exact small integer), so it remains the default and the contract stays
+#: "bit-exact for ARBITRARY f32 payloads".
+PERMUTE_MODE = "bytes"
+
+
+def _permute(vals, onehot, compacting: bool, mode=None):
     """Apply the one-hot permutation to f32 payload rows, bit-exactly.
 
     compacting=True:  out[r, dst] = vals[r, src(dst)]   (vals @ M^T)
     compacting=False: out[r, src] = vals[r, dst(src)]   (vals @ M)
-    Every output element has at most ONE nonzero product (one-hot), each
-    product is byte * 0/1 (exact in bf16), so the f32 bits round-trip.
     """
+    dims = (((1,), (1,)), ((), ())) if compacting else (((1,), (0,)), ((), ()))
+    if (mode or PERMUTE_MODE) == "f32":
+        return jax.lax.dot_general(
+            vals, onehot.astype(F32), dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=F32)
     rows = vals.shape[0]
     vb = _to_bytes(vals)                              # [4*rows, CB] bf16
-    dims = (((1,), (1,)), ((), ())) if compacting else (((1,), (0,)), ((), ()))
     parts = jax.lax.dot_general(vb, onehot, dims,
                                 preferred_element_type=F32)
     return _from_bytes(parts, rows)
@@ -260,17 +280,26 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
     survivor prefix and harvest its retired rays into the dead array.
     zeros_in/dead_in are the aliased input views of the two outputs."""
     del zeros_in, dead_in
-    row = jax.lax.rem(pl.program_id(0), 8)
+    pid = pl.program_id(0)
+    row = jax.lax.rem(pid, 8)
     cnt_a = meta_ref[row, M_CNT_A]
     case_a = meta_ref[row, M_CASE_A]
     off_a = meta_ref[row, M_OFF_A]
     cnt_d = meta_ref[row, M_CNT_D]
     case_d = meta_ref[row, M_CASE_D]
     off_d = meta_ref[row, M_OFF_D]
+    ident = meta_ref[row, M_IDENT]
 
     _build_iota_scratch(klt_s, sub_s, cb)
 
-    @pl.when(cnt_a + cnt_d > 0)
+    @pl.when((ident != 0) & (cnt_a + cnt_d > 0))
+    def _identity():
+        # overflow wave: pass the chunk through unpermuted, harvest nothing
+        # (the cumulative dead row keeps retired rays safe for a later wave)
+        _tiles(ca, st_ref[:], cb // ALIGN)
+        _seg_write(ca, out_hbm, pid * cb, cb // ALIGN, sem_a, cb // ALIGN)
+
+    @pl.when((ident == 0) & (cnt_a + cnt_d > 0))
     def _busy():
         st = st_ref[:]                                   # [16, CB]
         alive_f = (st[ROW_ALIVE:ROW_ALIVE + 1, :] != 0.0).astype(F32)
@@ -363,22 +392,37 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
     array (retired); gap lanes get zeros.  Row count follows the y/output
     block shape (the engine reassembles only accum+dead = 4 rows; the
     compact tests exercise the full 8)."""
-    row = jax.lax.rem(pl.program_id(0), 8)
+    pid = pl.program_id(0)
+    row = jax.lax.rem(pid, 8)
     cnt_a = meta_ref[row, M_CNT_A]
     case_a = meta_ref[row, M_CASE_A]
     off_a = meta_ref[row, M_OFF_A]
     cnt_d = meta_ref[row, M_CNT_D]
     case_d = meta_ref[row, M_CASE_D]
     off_d = meta_ref[row, M_OFF_D]
+    ident = meta_ref[row, M_IDENT]
 
     _build_iota_scratch(klt_s, sub_s, cb)
     out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(cnt_a + cnt_d > 0)
+    @pl.when(ident != 0)
+    def _identity():
+        # overflow wave was a pass-through: read the block back unpermuted
+        ntile = cb // ALIGN
+        _seg_read(y_hbm, pid * cb, ntile, sa, sem_a, ntile)
+        out_ref[:] = _untile(sa, ntile)
+
+    @pl.when((ident == 0) & (cnt_a + cnt_d > 0))
     def _busy():
         alive_f = (masks_ref[0:1, :] != 0.0).astype(F32)
         dead_f = (masks_ref[1:2, :] != 0.0).astype(F32)
         rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
+
+        # scratch lanes beyond the segments must be ZERO, not garbage: the
+        # f32 permute path multiplies actual values (0 * inf would leak a
+        # NaN through the MXU accumulation; the legacy byte path was immune)
+        sa[:] = jnp.zeros_like(sa)
+        sd[:] = jnp.zeros_like(sd)
 
         @pl.when(cnt_a > 0)
         def _ra():
@@ -388,10 +432,7 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
         def _rd():
             _seg_read(dead_hbm, off_d, case_d, sd, sem_d, cb // ALIGN)
 
-        # Expansion = the transposed permutation.  Scratch lanes beyond the
-        # segment (uninitialized garbage) only ever multiply all-zero one-hot
-        # rows — and since the multiply happens in the integer byte domain,
-        # garbage NaN/Inf bit patterns cannot leak (0 * byte == 0 exactly).
+        # Expansion = the transposed permutation (scratch pre-zeroed above).
         ntile = cb // ALIGN
         ga = _permute(_untile(sa, ntile),
                       _onehot(rank_a, alive_f, cb, sub_s[:]),
@@ -495,6 +536,11 @@ def compact_oracle(state, dead_arr, cb: int, dead_base: int):
         off_d += pad_d
 
     overflow = off_a > R
+    if overflow:
+        # identity pass-through (M_IDENT): nothing moves, nothing harvested
+        meta[:, M_IDENT] = 1
+        new_state = state.copy()
+        new_dead = np.array(dead_arr, copy=True)
     return new_state, new_dead, meta, off_a, overflow, off_d
 
 

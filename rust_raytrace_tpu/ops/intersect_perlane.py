@@ -187,7 +187,7 @@ def _trace_chunk(plt, plts, sub_p, ab_ref, o_v, d_v, a_v, excl_v, dst, P,
     in8 = jnp.concatenate(
         [o_v, d_v, alive_row,
          excl_v[0:1, :] if excl_v is not None else alive_row], axis=0)
-    p8 = _permute(in8, M, compacting=True)           # [8, RB]
+    p8 = _permute(in8, M, compacting=True, mode="bytes")  # [8, RB]
 
     # 5. trace the count-uniform groups into scratch
     dst[:] = jnp.zeros_like(dst)
@@ -218,7 +218,8 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
                          sort_lanes)
         if sort_lanes:
             # inverse permutation puts winner rows back in lane order
-            out_ref[:] = _permute(sout[:], M, compacting=False)
+            out_ref[:] = _permute(sout[:], M, compacting=False,
+                                   mode="bytes")
 
 
 def _kernel_fused(flags_ref, seed_ref, st_ref, ab_ref, plt_ref, plts_ref,
@@ -248,8 +249,8 @@ def _kernel_fused(flags_ref, seed_ref, st_ref, ab_ref, plt_ref, plts_ref,
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
         M = _trace_chunk(plt, plts, sub_p, ab_ref, st[0:3], st[3:6],
                          st[7:8], None, sout, P, RB, False, sort_lanes)
-        rows = _permute(sout[:], M, compacting=False) if sort_lanes \
-            else sout[:]
+        rows = _permute(sout[:], M, compacting=False, mode="bytes") \
+            if sort_lanes else sout[:]
         rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
                                    fixed_rng)
         out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, None,

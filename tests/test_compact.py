@@ -200,3 +200,32 @@ def test_bucketed_roundtrip_expand():
                                   st[C.ROW_ACC:C.ROW_ACC + 8][:, dead])
     gap = ~(alive | dead)
     assert (out[:, gap] == 0).all()
+
+
+def test_overflow_identity_passthrough():
+    """With cb a multiple of 128, per-chunk padding never exceeds cb, so
+    total_a <= R ALWAYS — the overflow flag cannot fire from real inputs.
+    The M_IDENT identity path is kept as a defensive in-kernel fallback
+    (it replaced a lax.cond whose branch copies cost ~3 ms/wave); force
+    the flag directly and check the pure pass-through contract."""
+    cb, R = 256, 256 * 5
+    rng = np.random.default_rng(9)
+    st, alive, dead = make_state(rng, R, alive_p=0.6, dead_p=0.2)
+    dead_arr = jnp.zeros((8, C.dead_capacity(R)), dtype=F32)
+
+    meta, total_a, overflow, dead_end = C.compact_meta(
+        jnp.asarray(st[C.ROW_ALIVE]), jnp.asarray(st[C.ROW_DEAD]), cb,
+        jnp.int32(0), R)
+    assert not bool(overflow)         # structurally impossible (see above)
+    meta = meta.at[:, C.M_IDENT].set(1)
+
+    new_state, new_dead = C.compact_pallas(
+        jnp.asarray(st), dead_arr, meta, cb=cb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(new_state), st)
+    np.testing.assert_array_equal(np.asarray(new_dead), np.asarray(dead_arr))
+
+    y = st[C.ROW_ACC:C.ROW_ACC + 4]
+    masks = jnp.asarray(np.stack([st[C.ROW_ALIVE], st[C.ROW_DEAD]]))
+    out = C.expand_pallas(jnp.asarray(y), new_dead, masks, meta, cb=cb,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), y)
