@@ -7,7 +7,7 @@ depths:
   reference (per ray)                      this engine (per 1024-ray chunk)
   -----------------------------------     --------------------------------------
   get_all_objects_for_ray: host octree     packet cull: device interval test of
-  walk -> ordered leaf tri lists           chunk bounds vs Morton-page AABBs
+  walk -> ordered leaf tri lists           chunk bounds vs KD-page AABBs
   BTreeMap ordered by box tmin             per-chunk page list argsorted by
   (raytrace.rs:1052-1077)                  conservative entry distance
   cycles of <=512 rays, best-hit carry     trace megakernel: per chunk, double-
@@ -440,6 +440,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     wave_counts = []
     primary = None
     cull0 = None
+    prev_alive = None
     metas, masks_list = [], []
 
     for wave in range(maxdepth):
@@ -451,7 +452,13 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
         o_w = state[0:3]
         d_w = state[3:6]
         alive = state[ROW_ALIVE] != 0.0
-        wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
+        # ray counters (the reference's "Rays" stat, raytrace.rs:1275-1278):
+        # waves >= 1 reuse the compaction meta's per-chunk alive counts — a
+        # [NC] reduce instead of a fresh full-R reduce every wave
+        if wave == 0 or prev_alive is None:
+            wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
+        else:
+            wave_counts.append(prev_alive)
 
         perlane = plt_i is not None and wave > 0
         kw = jax.random.fold_in(key, wave)
@@ -540,6 +547,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             masks2 = jnp.stack([state[ROW_ALIVE], state[ROW_DEAD]])
             state, dead_arr = compact_pallas(state, dead_arr, meta, cb=cb,
                                              interpret=interpret)
+            prev_alive = jnp.sum(meta[:, 0], dtype=jnp.int32)
             dead_base = jnp.where(overflow, dead_base, dead_end)
             rb_next = bounce_rb if bounce_rb else RB
             nc_next = R // rb_next

@@ -2,7 +2,7 @@
 "BoundingBox" spatial index (raytrace_lib/src/raytrace.rs:612-1101).
 
 The production TPU render path does NOT traverse this tree (divergent per-ray
-tree walks don't map to a 8x128 SIMD machine); it uses Morton pages + packet
+tree walks don't map to a 8x128 SIMD machine); it uses KD pages + packet
 culling (ops/pages.py, ops/cull.py).  The octree exists because it is part of
 the reference's capability surface:
 

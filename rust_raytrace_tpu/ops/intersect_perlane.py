@@ -25,8 +25,9 @@ are processed in groups of 128:
      [P, 128] tiles, and folds a lexicographic (t, id) running best; the
      tested page is cleared from the work matrix, and so is EVERY page
      whose slab entry lies beyond the lane's current best hit
-     (tlo > best_t) — a per-lane front-to-back cut that needs no sort
-     (Morton page order is already spatial), so the loop runs to each
+     (tlo > best_t) — a per-lane front-to-back cut, with the next page
+     chosen greedily by nearest slab entry (the reference's traversal
+     order, raytrace.rs:941-947), so the loop runs to each
      group's surviving-page count, not its raw slab-hit count.  (An
      explicit in-kernel bitonic sort by entry distance measured ~12%
      SLOWER than index order — docs/PERF.md round-2 finding #6; this cut
@@ -40,8 +41,8 @@ are processed in groups of 128:
 The structural reference is the per-ray ordered worklist of the reference's
 GPU path (get_all_objects_for_ray, raytrace.rs:1052-1077; pages windowed at
 cuda_raytrace.rs:231-253) — rebuilt here with the octree replaced by flat
-Morton-page slab tests, which the round-1 cull evolution measured as
-equally tight for these scene sizes.
+KD-page slab tests (ops/pages.kd_order), which measure tighter than both
+the octree leaves and the round-1 Morton pages for these scene sizes.
 """
 
 import functools
