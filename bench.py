@@ -20,7 +20,13 @@ the transfer-inclusive views honestly:
 """
 
 import json
+import os
 import time
+
+# Persistent XLA compilation cache: the fused-kernel program compiles
+# in ~15-20 min cold through the tunnel; cached, it loads in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_rt")
 
 import numpy as np
 

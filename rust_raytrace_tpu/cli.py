@@ -24,6 +24,11 @@ Examples:
   python -m rust_raytrace_tpu.cli tune --scene teapot --resolution 2k
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_rt")
+
 import argparse
 import sys
 import time

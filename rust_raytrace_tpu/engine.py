@@ -42,9 +42,9 @@ import numpy as np
 
 from . import math3d as m3
 from .camera import Viewport
-from .ops.cull import (chunk_bounds, chunk_bounds_octants, cull_mask_exact,
-                       cull_mask_tmin, cull_mask_tmin_octants)
-from .ops.cull_pallas import cull_mask_exact_pallas, cull_sorted_pallas
+from .ops.cull import (chunk_bounds, chunk_bounds_octants, cull_mask_tmin,
+                       cull_mask_tmin_octants)
+from .ops.cull_pallas import cull_mask_exact_pallas
 from .ops.compact import (DEFAULT_CB, ROW_ACC, ROW_ALIVE, ROW_DEAD, ROW_W,
                           STATE_ROWS, compact_meta, compact_pallas,
                           expand_pallas, make_dead_array)

@@ -80,12 +80,17 @@ ALIGN = 128
 M_CNT_A, M_CASE_A, M_OFF_A, M_CNT_D, M_CASE_D, M_OFF_D, M_IDENT = range(7)
 META_COLS = 8
 
-#: bucketed ("ray sorting") variant — survivors are grouped BUCKET-MAJOR by
-#: direction octant, so post-compaction chunks hold rays with coherent
-#: directions (and, within a bucket, original spatial order): the packet
-#: cull's per-chunk page unions stay tight for bounce waves.  Bucket codes
-#: in the ROW_CODE state row: 0 = gap, 1 = retired (pending harvest),
-#: 2+q = alive with direction octant q.
+#: bucketed ("ray sorting") variant — survivors are grouped BUCKET-MAJOR
+#: (codes in the ROW_CODE state row: 0 = gap, 1 = retired pending harvest,
+#: 2+q = alive bucket q).  STATUS: built, oracle-tested, wired into the
+#: engine twice (direction octants in round 1, page-count classes in round
+#: 2) and MEASURED 2x SLOWER end-to-end both times — per-(chunk, bucket)
+#: 128-lane alignment inflates the survivor prefix and bucketed expansion
+#: costs 3x (docs/PERF.md findings 7 and 11).  The production "ray
+#: sorting" lives inside the per-lane trace kernel instead (in-chunk
+#: count sort, ops/intersect_perlane.py), which needs no alignment
+#: padding.  Kept as the tested reference implementation of cross-chunk
+#: sorting for scenes/hardware where the tradeoff may flip.
 NB = 8                       # alive buckets (direction octants)
 ROW_CODE = 12
 META9_COLS = 32              # [cnt,case,off] x 8 octants, dead, busy flag
