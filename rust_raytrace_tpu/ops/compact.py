@@ -171,6 +171,35 @@ def _onehot(rank, mask_f, cb: int, sub_f=None):
             & (jnp.broadcast_to(mask_f, (cb, cb)) != 0.0)).astype(BF16)
 
 
+def _gather_lanes(vals, idx_f, cb: int):
+    """out[r, l] = vals[r, idx[l]] — tile-blocked lane gather.
+
+    Mosaic's dynamic_gather only lowers when the gathered dim fits one vreg
+    (128 lanes), so the [cb]-wide gather is built from (cb/128)^2 in-tile
+    take_along_axis calls + in-bounds selects.  Bits move verbatim (no
+    matmul), so this is bit-exact for ARBITRARY f32 including denormals,
+    +-inf and NaN — the preferred form for any gather-shaped permutation
+    (the inverse/expansion direction, where each output lane KNOWS its
+    source index).  The scatter-shaped forward direction still needs the
+    byte-split one-hot matmul (_permute)."""
+    T = cb // 128
+    idx_i = idx_f.astype(jnp.int32)                   # [1, cb]
+    outs = []
+    for t in range(T):
+        idx_t = idx_i[:, t * 128:(t + 1) * 128]       # [1, 128]
+        acc = None
+        for s in range(T):
+            rel = idx_t - s * 128
+            inb = (rel >= 0) & (rel < 128)
+            relc = jnp.clip(rel, 0, 127)
+            src = vals[:, s * 128:(s + 1) * 128]      # [rows, 128]
+            g = jnp.take_along_axis(
+                src, jnp.broadcast_to(relc, src.shape), axis=1)
+            acc = g if acc is None else jnp.where(inb, g, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
 def _to_bytes(vals):
     """f32 [rows, CB] -> bf16 byte planes [4*rows, CB] (each value 0..255,
     exact in bf16)."""
@@ -437,15 +466,18 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
         def _rd():
             _seg_read(dead_hbm, off_d, case_d, sd, sem_d, cb // ALIGN)
 
-        # Expansion = the transposed permutation (scratch pre-zeroed above).
+        # Expansion is GATHER-shaped: rank_a/rank_d[lane] is each lane's
+        # source index in its segment, so the inverse permutation is a
+        # tile-blocked lane gather — no one-hot build, no byte matmuls,
+        # bits verbatim (_gather_lanes).
         ntile = cb // ALIGN
-        ga = _permute(_untile(sa, ntile),
-                      _onehot(rank_a, alive_f, cb, sub_s[:]),
-                      compacting=False)
-        gd = _permute(_untile(sd, ntile),
-                      _onehot(rank_d, dead_f, cb, sub_s[:]),
-                      compacting=False)
-        out = jnp.where(jnp.broadcast_to(alive_f != 0.0, ga.shape), ga, gd)
+        ga = _gather_lanes(_untile(sa, ntile), rank_a, cb)
+        gd = _gather_lanes(_untile(sd, ntile), rank_d, cb)
+        # gap lanes (neither alive nor dead) read zero — the one-hot form
+        # zeroed them via its mask; the gather form selects explicitly
+        out = jnp.where(jnp.broadcast_to(alive_f != 0.0, ga.shape), ga,
+                        jnp.where(jnp.broadcast_to(dead_f != 0.0, gd.shape),
+                                  gd, 0.0))
         out_ref[:] = out
 
 

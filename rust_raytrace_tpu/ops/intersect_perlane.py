@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compact import STATE_ROWS, _onehot, _permute
+from .compact import STATE_ROWS, _gather_lanes, _onehot, _permute
 from .pages import PACK_LANES, PageTables
 from .shade import _shade_state_rows, scatter_rv
 
@@ -131,9 +131,10 @@ def _trace_chunk(plt, plts, sub_p, ab_ref, o_v, d_v, a_v, excl_v, dst, P,
                  RB, any_hit, sort_lanes):
     """Winner rows for one chunk written into `dst` (a [16, RB] ref).
 
-    With sort_lanes, rows land in COUNT-SORTED lane order and the one-hot
-    permutation M is returned so the caller can invert it; otherwise rows
-    are in input order and None is returned.
+    With sort_lanes, rows land in COUNT-SORTED lane order and the per-lane
+    destination map `dest` [1, RB] is returned so the caller can invert the
+    permutation (out[l] = sorted[dest[l]], a tile-blocked gather);
+    otherwise rows are in input order and None is returned.
     """
     if not sort_lanes:
         dst[:] = jnp.zeros_like(dst)
@@ -197,7 +198,7 @@ def _trace_chunk(plt, plts, sub_p, ab_ref, o_v, d_v, a_v, excl_v, dst, P,
         _group(plt, plts, sub_p, p8[0:3, sl], p8[3:6, sl], p8[6:7, sl],
                p8[7:8, sl] if excl_v is not None else None,
                ab_ref, dst, sl, P, any_hit)
-    return M
+    return dest
 
 
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
@@ -213,14 +214,15 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
         plt = plt_ref[:]                                 # [17P, 128]
         plts = plts_ref[:]                               # [7P, 128]
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-        M = _trace_chunk(plt, plts, sub_p, ab_ref, o_ref[:], d_ref[:],
-                         a_ref[:], excl_ref[:] if exclude_id else None,
-                         sout if sort_lanes else out_ref, P, RB, any_hit,
-                         sort_lanes)
+        dest = _trace_chunk(plt, plts, sub_p, ab_ref, o_ref[:], d_ref[:],
+                            a_ref[:], excl_ref[:] if exclude_id else None,
+                            sout if sort_lanes else out_ref, P, RB, any_hit,
+                            sort_lanes)
         if sort_lanes:
-            # inverse permutation puts winner rows back in lane order
-            out_ref[:] = _permute(sout[:], M, compacting=False,
-                                   mode="bytes")
+            # inverse permutation puts winner rows back in lane order:
+            # out[l] = sorted[dest[l]] — a tile-blocked gather (bits
+            # verbatim; safe for the +-inf winner-t row)
+            out_ref[:] = _gather_lanes(sout[:], dest, RB)
 
 
 def _kernel_fused(flags_ref, seed_ref, st_ref, ab_ref, plt_ref, plts_ref,
@@ -248,10 +250,9 @@ def _kernel_fused(flags_ref, seed_ref, st_ref, ab_ref, plt_ref, plts_ref,
         plt = plt_ref[:]
         plts = plts_ref[:]
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-        M = _trace_chunk(plt, plts, sub_p, ab_ref, st[0:3], st[3:6],
-                         st[7:8], None, sout, P, RB, False, sort_lanes)
-        rows = _permute(sout[:], M, compacting=False, mode="bytes") \
-            if sort_lanes else sout[:]
+        dest = _trace_chunk(plt, plts, sub_p, ab_ref, st[0:3], st[3:6],
+                            st[7:8], None, sout, P, RB, False, sort_lanes)
+        rows = _gather_lanes(sout[:], dest, RB) if sort_lanes else sout[:]
         rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
                                    fixed_rng)
         out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, None,
