@@ -340,15 +340,33 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
         dead_f = (st[ROW_DEAD:ROW_DEAD + 1, :] != 0.0).astype(F32)
         rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
 
+        # The forward permutation is scatter-shaped, but its SOURCE-INDEX
+        # map is recoverable with a tiny matmul: push the lane iota (split
+        # into two exact byte planes — lane ids < 2^16) through the one-hot,
+        # then move the payload rows by a tile-blocked GATHER (bits
+        # verbatim) instead of byte-splitting every payload row through the
+        # MXU (was 48-96 bf16 planes per chunk).
+        lane_int = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+        lane_lo = (lane_int & 255).astype(F32).astype(BF16)
+        lane_hi = jax.lax.shift_right_logical(
+            lane_int, 8).astype(F32).astype(BF16)
+        lane_pl = jnp.concatenate([lane_lo, lane_hi], axis=0)   # [2, cb]
+
+        def src_index(rank, mask_f):
+            m = _onehot(rank, mask_f, cb, sub_s[:])
+            planes = jax.lax.dot_general(
+                lane_pl, m, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32)              # [2, cb]
+            return planes[0:1] + F32(256.0) * planes[1:2]
+
         @pl.when(cnt_a > 0)
         def _alive():
-            # dst lanes >= cnt_a get zeros (all-zero one-hot rows).  Only
-            # the 12 meaningful state rows are permuted (o, d, w, alive,
-            # accum, dead); the spare rows 12..15 are never read after a
-            # compaction, so they land as zeros — 25% less byte-plane matmul.
-            p12 = _permute(st[0:ROW_CODE],
-                           _onehot(rank_a, alive_f, cb, sub_s[:]),
-                           compacting=True)
+            # dst lanes >= cnt_a get zeros.  Only the 12 meaningful state
+            # rows move (spares 12..15 are never read after a compaction).
+            srcidx = src_index(rank_a, alive_f)
+            dst_live = lane_int < cnt_a
+            p12 = jnp.where(dst_live,
+                            _gather_lanes(st[0:ROW_CODE], srcidx, cb), 0.0)
             _tiles(ca, jnp.concatenate(
                 [p12, jnp.zeros((STATE_ROWS - ROW_CODE, cb), F32)], axis=0),
                 cb // ALIGN)
@@ -357,9 +375,12 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
         @pl.when(cnt_d > 0)
         def _dead():
             # the dead array keeps only the 8-row payload (rows 8..15)
-            _tiles(cd, _permute(st[ROW_ACC:ROW_ACC + 8],
-                                _onehot(rank_d, dead_f, cb, sub_s[:]),
-                                compacting=True), cb // ALIGN)
+            srcidx = src_index(rank_d, dead_f)
+            dst_live = lane_int < cnt_d
+            p8 = jnp.where(dst_live,
+                           _gather_lanes(st[ROW_ACC:ROW_ACC + 8], srcidx,
+                                         cb), 0.0)
+            _tiles(cd, p8, cb // ALIGN)
             _seg_write(cd, dead_hbm, off_d, case_d, sem_d, cb // ALIGN)
 
 
