@@ -428,10 +428,10 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
         cb //= 2
     cb = max(cb, 128)
 
-    state = jnp.zeros((STATE_ROWS, R), dtype=F32)
-    state = state.at[0:3].set(o).at[3:6].set(d)
-    state = state.at[ROW_W].set(jnp.where(alive0, F32(1.0), F32(0.0)))
-    state = state.at[ROW_ALIVE].set(alive0.astype(F32))
+    alive_row = alive0.astype(F32)[None, :]
+    state = jnp.concatenate(
+        [o.astype(F32), d.astype(F32), alive_row, alive_row,
+         jnp.zeros((STATE_ROWS - ROW_ACC, R), F32)], axis=0)
 
     dead_arr = make_dead_array(R)
     dead_base = jnp.int32(0)
