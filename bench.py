@@ -95,18 +95,37 @@ def main():
         np.asarray(img[:, :8])
         dev_rays = int(np.asarray(wc).sum())
 
-        # device-only: chain ND dispatches and sync once with a tiny fetch
-        # (block_until_ready returns early through the tunnel, and a single
-        # dispatch+fetch pays a ~30 ms tunnel round trip that no on-prem
-        # deployment sees — profiler-verified: the XLA program itself runs
-        # ~30 ms less than a single-dispatch wall measurement)
+        # device-only: ND renders in ONE jit (lax.fori_loop), synced by a
+        # tiny fetch — no host in the loop at all, so the number is the XLA
+        # program's own sustained per-render time.  (A single dispatch+fetch
+        # pays a ~30 ms tunnel round trip that no on-prem deployment sees —
+        # profiler-verified.)  The carry feeds an o-perturbation of 1e-30
+        # (vanishes in f32 addition: renders are bit-identical) so the loop
+        # body cannot be folded or elided.
         ND = 8
+
+        @jax.jit
+        def dev_loop(key0, o_):
+            def body(i, c):
+                img, wc = _render_device_compact(
+                    eng.tensors, eng.aabb_lo, eng.aabb_hi,
+                    o_ + c * jnp.float32(1e-30), d, alive,
+                    jax.random.fold_in(key0, i),
+                    maxdepth=vp.maxdepth, ray_chunk=rb, page_size=page_size,
+                    fixed_rng=False, interpret=False, want_primary=False,
+                    quantize=True, weight_cutoff=1 / 512, pk0=pk0,
+                    nbuf=eng.nbuf, plt_i=eng.plt_i, plt_s=eng.plt_s,
+                    ab_tab=eng.ab_tab)[:2]
+                return img[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ND, body, jnp.float32(0.0))
+
+        x = dev_loop(key, ob)
+        np.asarray(x)
         dts = []
         for i in range(2):
             t0 = time.perf_counter()
-            for j in range(ND):
-                img, wc = dev_render(jax.random.PRNGKey(i * ND + j))
-            np.asarray(img[:, :8])
+            x = dev_loop(jax.random.PRNGKey(100 + i), ob)
+            np.asarray(x)
             dts.append((time.perf_counter() - t0) / ND)
         extras["device_mrays_per_sec"] = round(dev_rays / min(dts) / 1e6, 3)
         extras["device_seconds"] = round(min(dts), 4)
