@@ -26,7 +26,7 @@ import time
 # Persistent XLA compilation cache: the fused-kernel program compiles
 # in ~15-20 min cold through the tunnel; cached, it loads in seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/root/.cache/jax_rt")
+                      os.path.expanduser("~/.cache/jax_rt"))
 
 import numpy as np
 
@@ -93,7 +93,6 @@ def main():
 
         img, wc = dev_render(key)
         np.asarray(img[:, :8])
-        dev_rays = int(np.asarray(wc).sum())
 
         # device-only: ND renders in ONE jit (lax.fori_loop), synced by a
         # tiny fetch — no host in the loop at all, so the number is the XLA
@@ -101,36 +100,44 @@ def main():
         # pays a ~30 ms tunnel round trip that no on-prem deployment sees —
         # profiler-verified.)  The carry feeds an o-perturbation of 1e-30
         # (vanishes in f32 addition: renders are bit-identical) so the loop
-        # body cannot be folded or elided.
+        # body cannot be folded or elided.  The loop also accumulates the
+        # wave counts so the rays/numerator comes from the SAME keys as the
+        # timed work (fetched after the timer stops).
         ND = 8
 
         @jax.jit
         def dev_loop(key0, o_):
             def body(i, c):
+                pert, rays = c
                 img, wc = _render_device_compact(
                     eng.tensors, eng.aabb_lo, eng.aabb_hi,
-                    o_ + c * jnp.float32(1e-30), d, alive,
+                    o_ + pert * jnp.float32(1e-30), d, alive,
                     jax.random.fold_in(key0, i),
                     maxdepth=vp.maxdepth, ray_chunk=rb, page_size=page_size,
                     fixed_rng=False, interpret=False, want_primary=False,
                     quantize=True, weight_cutoff=1 / 512, pk0=pk0,
                     nbuf=eng.nbuf, plt_i=eng.plt_i, plt_s=eng.plt_s,
                     ab_tab=eng.ab_tab)[:2]
-                return img[0, 0].astype(jnp.float32)
-            return jax.lax.fori_loop(0, ND, body, jnp.float32(0.0))
+                return (img[0, 0].astype(jnp.float32),
+                        rays + jnp.sum(wc, dtype=jnp.int32))
+            return jax.lax.fori_loop(0, ND, body,
+                                     (jnp.float32(0.0), jnp.int32(0)))
 
-        x = dev_loop(key, ob)
+        x, _ = dev_loop(key, ob)
         np.asarray(x)
-        dts = []
+        best = (0.0, 1.0, 0)                  # (mrays, dt, rays)
         for i in range(2):
             t0 = time.perf_counter()
-            x = dev_loop(jax.random.PRNGKey(100 + i), ob)
+            x, rays_tot = dev_loop(jax.random.PRNGKey(100 + i), ob)
             np.asarray(x)
-            dts.append((time.perf_counter() - t0) / ND)
-        extras["device_mrays_per_sec"] = round(dev_rays / min(dts) / 1e6, 3)
-        extras["device_seconds"] = round(min(dts), 4)
-
-        mrays = dev_rays / min(dts) / 1e6     # headline: device metric
+            dt = (time.perf_counter() - t0) / ND
+            rays_i = int(np.asarray(rays_tot)) // ND
+            mr = rays_i / dt / 1e6
+            if mr > best[0]:
+                best = (mr, dt, rays_i)
+        mrays, dev_dt, dev_rays = best        # headline: device metric
+        extras["device_mrays_per_sec"] = round(mrays, 3)
+        extras["device_seconds"] = round(dev_dt, 4)
 
         # pipelined throughput: dispatch N renders back-to-back; each full
         # image fetch overlaps the following renders' device work
@@ -177,6 +184,10 @@ def main():
 
     print(json.dumps({
         "metric": "mrays_per_sec_teapot_2k",
+        # `value` semantics: device-only throughput since round 2 (round 1's
+        # `value` was the pipelined metric) — tagged so cross-round JSON
+        # comparisons can detect the change (ADVICE r2).
+        "metric_semantics": "device_only" if on_tpu else "wall_cpu",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),

@@ -27,7 +27,7 @@ Examples:
 import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/root/.cache/jax_rt")
+                      os.path.expanduser("~/.cache/jax_rt"))
 
 import argparse
 import sys

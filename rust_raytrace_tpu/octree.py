@@ -244,15 +244,17 @@ def collides(node: Octree, orig, d, inv_d=None) -> Optional[Tuple[float, float]]
             inv_d = F32(1.0) / d
     tmin = np.finfo(np.float32).min
     tmax = np.finfo(np.float32).max
-    tmp1 = (node.orig - orig) * inv_d
-    tmp2 = inv_d * F32(node.len2)
-    t1s = tmp1 - tmp2
-    t2s = tmp1 + tmp2
     first = True
     for k in range(3):
         if d[k] == 0.0:
+            # skipped axes never touch inv_d[k] == inf, so no 0*inf NaN
+            # (the reference's per-axis slab loop, raytrace.rs:869-897,
+            # has the same structure)
             continue
-        lo, hi = (t1s[k], t2s[k]) if inv_d[k] > 0 else (t2s[k], t1s[k])
+        tmp1 = (node.orig[k] - orig[k]) * inv_d[k]
+        tmp2 = inv_d[k] * F32(node.len2)
+        t1s, t2s = tmp1 - tmp2, tmp1 + tmp2
+        lo, hi = (t1s, t2s) if inv_d[k] > 0 else (t2s, t1s)
         if first and k == 0:
             tmin, tmax = lo, hi
         else:

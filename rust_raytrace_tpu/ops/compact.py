@@ -473,11 +473,11 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
         dead_f = (masks_ref[1:2, :] != 0.0).astype(F32)
         rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
 
-        # scratch lanes beyond the segments must be ZERO, not garbage: the
-        # f32 permute path multiplies actual values (0 * inf would leak a
-        # NaN through the MXU accumulation; the legacy byte path was immune)
-        sa[:] = jnp.zeros_like(sa)
-        sd[:] = jnp.zeros_like(sd)
+        # No scratch zero-fill needed: the gather form below moves bits
+        # verbatim (no arithmetic touches unread lanes) and the jnp.where
+        # selects mask every lane whose gather landed past its segment —
+        # uninitialized-scratch lanes are never observed.  (The old one-hot
+        # MXU path NEEDED zeros: 0 * inf leaked NaN through accumulation.)
 
         @pl.when(cnt_a > 0)
         def _ra():

@@ -46,10 +46,16 @@ def _page_hits(pk: np.ndarray, O: np.ndarray, D: np.ndarray):
 
 
 def nearest_hit_model(O: np.ndarray, D: np.ndarray, pages: PageTables,
-                      page_order=None):
+                      page_order=None, tie: str = "page"):
     """page_order: optional per-ray-irrelevant page visit order (defaults to
     0..NP-1; the culled engine visits a subset — min is order-independent
-    except for exact-tie id selection across pages)."""
+    except for exact-tie id selection across pages).
+
+    tie: cross-page rule for exactly-equal best t —
+      "page": earlier-visited page wins (the union/chunk kernels' rule);
+      "lex":  globally smallest id wins, independent of visit order (the
+              per-lane kernel's rule, intersect_perlane.py body()).
+    """
     O = np.asarray(O, dtype=F32)
     D = np.asarray(D, dtype=F32)
     R = O.shape[0]
@@ -63,6 +69,9 @@ def nearest_hit_model(O: np.ndarray, D: np.ndarray, pages: PageTables,
         sel = np.where(tt == page_min[None, :], ids[:, None],
                        np.inf).min(axis=0)                        # low id on tie
         upd = page_min < best_t
+        if tie == "lex":
+            upd = upd | ((page_min == best_t) & np.isfinite(page_min)
+                         & (sel < best_id))
         best_t = np.where(upd, page_min, best_t)
         best_id = np.where(upd, sel.astype(np.int32), best_id)
 

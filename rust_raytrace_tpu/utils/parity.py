@@ -42,8 +42,10 @@ def sky_mask(img: np.ndarray, sky, tol: float = SKY_TOL) -> np.ndarray:
 def parity_stats(ours: np.ndarray, golden: np.ndarray) -> dict:
     """ours/golden: [H, W, 3] u8-ish arrays of the SAME shape.
 
-    Returns {sky_mean_abs_diff, silhouette_iou, rmse} — the deterministic
-    parity gates plus the overall RMSE (stochastic, reported not gated).
+    Returns {sky_mean_abs_diff, silhouette_iou, rmse, mae} — the
+    deterministic parity gates plus the overall error norms (stochastic,
+    reported not gated).  rmse is sqrt(mean(sq)); mae is mean(|diff|)
+    (both over [0,1]-normalized channels).
     """
     ours_f = ours.astype(np.float32)
     golden_f = golden.astype(np.float32)
@@ -57,10 +59,13 @@ def parity_stats(ours: np.ndarray, golden: np.ndarray) -> dict:
     union = (~gsky | ~osky).sum()
     iou = float(inter / union) if union else float("nan")
 
-    r = float(np.sqrt(((ours_f - golden_f) / 255.0) ** 2).mean())
+    sq = ((ours_f - golden_f) / 255.0) ** 2
+    rmse = float(np.sqrt(sq.mean()))
+    mae = float(np.abs((ours_f - golden_f) / 255.0).mean())
     return {
         "sky_mean_abs_diff": sky_diff,
         "silhouette_iou": iou,
-        "rmse": r,
+        "rmse": rmse,
+        "mae": mae,
         "sky_fraction_golden": float(gsky.mean()),
     }

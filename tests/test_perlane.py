@@ -68,16 +68,21 @@ def _run_perlane(scene, o, d, alive, excl=None, any_hit=False):
 def test_nearest_hit_matches_model(scene, scattered_rays):
     o, d, alive = scattered_rays
     pages, t_k, id_k = _run_perlane(scene, o, d, alive)
-    t_m, id_m = nearest_hit_model(o, d, pages)
+    # the kernel's cross-page tie rule is lexicographic (t, smallest id)
+    # regardless of visit order — model it exactly so a regression in the
+    # front-to-back cut that flips tie winners fails HERE, not only in the
+    # full-scene bit-exact contract test (ADVICE r2)
+    t_m, id_m = nearest_hit_model(o, d, pages, tie="lex")
 
     # dead lanes must be zeroed, not traced
     assert (id_k[~alive] == 0).all()
     live = alive
     assert ((id_k != 0) == (id_m != 0))[live].all()
     hit = live & (id_m != 0)
+    # t is allclose, not bitwise: the kernel's FMA association differs from
+    # the model's matmul (measured max rel diff ~4e-6); ids are EXACT
     np.testing.assert_allclose(t_k[hit], t_m[hit], rtol=1e-5, atol=1e-6)
-    # id mismatches only via exact-t ties across pages (none expected here)
-    assert (id_k[hit] == id_m[hit]).mean() > 0.999
+    np.testing.assert_array_equal(id_k[hit], id_m[hit])
 
 
 def test_any_hit_occlusion_set(scene, scattered_rays):
