@@ -411,6 +411,8 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
     """
     if sort_lanes is None:
         sort_lanes = ray_chunk >= 2 * GROUP
+    assert ray_chunk % GROUP == 0, \
+        f"per-lane traversal needs ray_chunk % {GROUP} == 0, got {ray_chunk}"
     RB = ray_chunk
     R = OT.shape[1]
     NC = R // RB
@@ -490,6 +492,8 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
     pass must run between trace and shade — engine keeps those unfused)."""
     if sort_lanes is None:
         sort_lanes = ray_chunk >= 2 * GROUP
+    assert ray_chunk % GROUP == 0, \
+        f"per-lane traversal needs ray_chunk % {GROUP} == 0, got {ray_chunk}"
     RB = ray_chunk
     R = state.shape[1]
     NC = R // RB

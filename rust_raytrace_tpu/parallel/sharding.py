@@ -87,7 +87,8 @@ def shard_rays(o, d, mesh: Mesh):
 
 
 def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
-                          maxdepth: int, interpret: bool = False):
+                          maxdepth: int, interpret: bool = False,
+                          fixed_rng: bool = False, compact: bool = False):
     """The production engine's full multi-wave render, sharded over chips.
 
     o, d: [3, R] tile-order rays with R divisible by mesh size x ray_chunk.
@@ -96,14 +97,25 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
     collective is the psum of per-wave ray counters.  Returns
     (img_u8 [3, R] sharded, wave_counts [maxdepth] global).
 
+    `compact` routes each shard through the compacted production pipeline
+    (_render_device_compact: per-lane bounce traversal + wavefront
+    compaction/expansion) — the exact per-chip program of a single-device
+    production render.  With `fixed_rng` the sharded image is BIT-EXACT equal
+    to the unsharded engine's (every per-ray value is independent of chunk
+    grouping; compaction is reversed on device) — tests/test_sharding.py and
+    the driver dryrun assert this equality, the multi-chip analog of the
+    reference's differential methodology (debug.rs:150-222).
+
     On a real multi-chip TPU this runs the Pallas kernel per chip; for
     virtual CPU meshes pass interpret=True.
     """
-    from ..engine import _render_device
+    from ..engine import _render_device, _render_device_compact
 
     n = mesh.shape[TILE_AXIS]
     R = o.shape[1]
     assert R % (n * engine.ray_chunk) == 0
+    if compact:
+        assert (R // n) % 128 == 0, "per-shard rays must align to 128 lanes"
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -114,13 +126,26 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
         check_vma=False,
     )
     def step(st, lo, hi, o_sh, d_sh, alive_sh, key_rep):
+        # Decorrelated per-chip streams with live RNG; under fixed_rng the
+        # scatter vectors are constants, so the fold_in is inert and the
+        # sharded render stays bit-equal to the unsharded one.
         key_sh = jax.random.fold_in(key_rep, jax.lax.axis_index(TILE_AXIS))
-        img, wave_counts, _ = _render_device(
-            st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
-            maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
-            page_size=engine.page_size, fixed_rng=False,
-            interpret=interpret, want_primary=False, quantize=True, spp=1,
-            weight_cutoff=engine.weight_cutoff)
+        wc = 0.0 if fixed_rng else engine.weight_cutoff
+        if compact:
+            img, wave_counts, _, _ = _render_device_compact(
+                st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
+                maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
+                page_size=engine.page_size, fixed_rng=fixed_rng,
+                interpret=interpret, want_primary=False, quantize=True,
+                weight_cutoff=wc, plt_i=engine.plt_i, plt_s=engine.plt_s,
+                ab_tab=engine.ab_tab)
+        else:
+            img, wave_counts, _ = _render_device(
+                st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
+                maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
+                page_size=engine.page_size, fixed_rng=fixed_rng,
+                interpret=interpret, want_primary=False, quantize=True,
+                spp=1, weight_cutoff=wc)
         return img, jax.lax.psum(wave_counts, TILE_AXIS)
 
     return step(engine.tensors, engine.aabb_lo, engine.aabb_hi, o, d, alive,

@@ -45,7 +45,7 @@ def traces(scene, vp):
     oracle.render(scene.tris, vp, rng=oracle.FixedRng(), debug_ctx=octx,
                   octree=tree)
     # engine trace with packet-cull candidate sets
-    eng = Engine(scene, page_size=16, ray_chunk=64, interpret=True)
+    eng = Engine(scene, page_size=16, ray_chunk=128, interpret=True)
     res = eng.render(vp, fixed_rng=True, debug=True, quantize=False)
     ectx = from_render_result(res, vp)
     return octx, ectx
