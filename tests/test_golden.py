@@ -23,19 +23,21 @@ from rust_raytrace_tpu.utils import png
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
 
 
-def _check(scene, vp, golden_name, tol_frac=0.005):
+def _check(scene, vp, golden_name):
+    """Both backends must reproduce the golden EXACTLY under fixed_rng:
+    test_bitexact.py proves engine == xla == quantized oracle, so any pixel
+    tolerance here would be dead slack hiding real one-pixel regressions
+    (VERDICT r2 weak #2)."""
     golden = png.read_png(os.path.join(GOLDENS, golden_name))
 
     simple = WavefrontRenderer(scene, backend="xla", page_size=128,
                                ray_chunk=512)
     img_s = png.quantize_u8(simple.render(vp, fixed_rng=True).image)
-    diff_s = (np.abs(img_s.astype(int) - golden.astype(int)).max(axis=-1) > 1)
-    assert diff_s.mean() <= tol_frac, f"simple vs {golden_name}"
+    np.testing.assert_array_equal(img_s, golden, err_msg=f"simple vs {golden_name}")
 
     eng = Engine(scene, page_size=128, ray_chunk=512, interpret=True)
     img_e = eng.render(vp, fixed_rng=True).image
-    diff_e = (np.abs(img_e.astype(int) - golden.astype(int)).max(axis=-1) > 1)
-    assert diff_e.mean() <= tol_frac, f"engine vs {golden_name}"
+    np.testing.assert_array_equal(img_e, golden, err_msg=f"engine vs {golden_name}")
 
 
 def test_circles_golden():
@@ -54,10 +56,22 @@ def test_multi_golden():
     _check(scene, vp, "multi_64x36.png")
 
 
-def test_goldens_regenerate_exactly():
-    """The committed golden is byte-identical to a fresh oracle render
-    (guards both the oracle and the PNG quantization against drift)."""
-    scene, vp = circles.build(resolution=(96, 54), maxdepth=5)
+def _regen(build, golden_name, **kw):
+    scene, vp = build(**kw)
     img = oracle.render(scene.tris, vp, rng=oracle.FixedRng())
-    golden = png.read_png(os.path.join(GOLDENS, "circles_96x54.png"))
+    golden = png.read_png(os.path.join(GOLDENS, golden_name))
     np.testing.assert_array_equal(png.quantize_u8(img), golden)
+
+
+def test_goldens_regenerate_exactly():
+    """Every committed golden is byte-identical to a fresh oracle render
+    (guards the oracle and the PNG quantization against drift — the
+    CLAUDE.md invariant, now enforced for all three scenes)."""
+    _regen(circles.build, "circles_96x54.png", resolution=(96, 54),
+           maxdepth=5)
+    _regen(multi.build, "multi_64x36.png", resolution=(64, 36), maxdepth=4)
+
+
+@pytest.mark.needs_teapot
+def test_teapot_golden_regenerates_exactly():
+    _regen(teapot.build, "teapot_96x54.png", resolution=(96, 54), maxdepth=5)
