@@ -88,7 +88,8 @@ def main():
                 maxdepth=vp.maxdepth, ray_chunk=rb, page_size=page_size,
                 fixed_rng=False, interpret=False, want_primary=False,
                 quantize=True, weight_cutoff=1 / 512, pk0=pk0, nbuf=eng.nbuf,
-                plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab)
+                plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
+                ncompact=eng.ncompact)
             return img, wc
 
         img, wc = dev_render(key)
@@ -117,7 +118,7 @@ def main():
                     fixed_rng=False, interpret=False, want_primary=False,
                     quantize=True, weight_cutoff=1 / 512, pk0=pk0,
                     nbuf=eng.nbuf, plt_i=eng.plt_i, plt_s=eng.plt_s,
-                    ab_tab=eng.ab_tab)[:2]
+                    ab_tab=eng.ab_tab, ncompact=eng.ncompact)[:2]
                 return (img[0, 0].astype(jnp.float32),
                         rays + jnp.sum(wc, dtype=jnp.int32))
             return jax.lax.fori_loop(0, ND, body,

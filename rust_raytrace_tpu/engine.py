@@ -394,7 +394,7 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                                     "fixed_rng", "interpret", "want_primary",
                                     "quantize", "has_lights", "weight_cutoff",
                                     "nbuf", "cb", "bounce_rb",
-                                    "profile_skip"))
+                                    "profile_skip", "ncompact"))
 def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            key, maxdepth: int, ray_chunk: int,
                            page_size: int, fixed_rng: bool, interpret: bool,
@@ -403,7 +403,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            light_len2=None, weight_cutoff: float = 0.0,
                            pk0=None, nbuf: int = 2, cb: int = DEFAULT_CB,
                            bounce_rb: int = 0, plt_i=None, plt_s=None,
-                           ab_tab=None, profile_skip: tuple = ()):
+                           ab_tab=None, profile_skip: tuple = (),
+                           ncompact: int = -1):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -417,6 +418,14 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
 
     Returns (img [3, R] u8/f32 in ORIGINAL tile order, wave_counts, primary,
     cull0 — the wave-0 (counts, plist) candidate buffers when want_primary).
+
+    ncompact: number of leading wave boundaries that compact (-1 = all,
+    i.e. maxdepth-1).  The tail waves retire few rays for a fixed
+    compact+expand cost, so skipping their compaction can win: skipped
+    boundaries keep the previous survivor prefix and chunk_live flags, and
+    dead lanes simply ride along (the per-lane kernel's count sort parks
+    them in the zero-page class).  Bit-exact for any value — compaction is
+    a reversed permutation either way.
     """
     R = o.shape[1]
     RB = ray_chunk
@@ -459,31 +468,34 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             wave_counts.append(jnp.sum(alive, dtype=jnp.int32))
         else:
             wave_counts.append(prev_alive)
+            prev_alive = None    # consumed; recompute unless a compaction
+                                 # boundary refreshes it below
 
         perlane = plt_i is not None and wave > 0
         kw = jax.random.fold_in(key, wave)
         seed = (kw if kw.ndim == 1 else jax.random.key_data(kw)) \
             .astype(jnp.uint32)
-        if perlane and not has_lights and "trace" not in profile_skip:
+        if perlane and "trace" not in profile_skip:
             # Bounce waves: per-lane traversal (each ray tests only its OWN
             # slab-selected pages — no packet cull or page sort) FUSED with
             # the wave's shade/scatter/state update: the winner rows never
             # leave VMEM (the standalone shade kernel costs ~5 ms/wave in
-            # block DMA alone).  Lights configs stay unfused — the shadow
-            # pass must run between trace and shade.
+            # block DMA alone).  Lights configs additionally fuse the
+            # SHADOW FEELER between trace and shade (any_hit per-lane
+            # traversal on the winner rows while they are still in VMEM —
+            # the unfused chain paid a second full trace kernel per wave).
+            light4 = None
+            if has_lights:
+                light4 = jnp.concatenate(
+                    [light_orig.reshape(3),
+                     jnp.reshape(light_len2, (1,))]).astype(F32)
             state = trace_shade_perlane_pallas(
                 state, plt_i, plt_s, ab_tab, seed, page_size, rb_w,
                 fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
-                chunk_live=chunk_live, interpret=interpret)
+                chunk_live=chunk_live, interpret=interpret, light=light4)
             rows = None
         elif "trace" in profile_skip:
             rows = jnp.zeros((TRACE_ROWS_TOTAL, R), F32)
-        elif perlane:
-            # per-lane traversal, unfused (lights: shadow pass needs rows)
-            rows = trace_perlane_pallas(o_w, d_w, alive, plt_i, plt_s,
-                                        ab_tab, page_size, rb_w,
-                                        chunk_live=chunk_live,
-                                        interpret=interpret)
         else:
             # wave 0 (and NP > 128 fallback): coherent chunks + packet cull
             # + XLA argsort (~4 ms; the fused in-kernel rank-sort variant
@@ -537,7 +549,9 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                 shadowed=None if shadowed is None else shadowed[None, :],
                 interpret=interpret)
 
-        if wave < maxdepth - 1 and "compact" not in profile_skip:
+        nc_lim = (maxdepth - 1) if ncompact < 0 else ncompact
+        if wave < maxdepth - 1 and wave < nc_lim \
+                and "compact" not in profile_skip:
             # No lax.cond here: a cond around the [16, R] state + dead-array
             # operands costs ~3 ms/wave in XLA branch copies (profiler);
             # the rare overflow case (>~87% survivors) rides meta's M_IDENT
@@ -591,16 +605,24 @@ class Engine(RayCaster):
                  pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
                  bounce_chunk: int = 0, nbuf: int = 4,
                  exact_cull: bool = True, compact: bool = True,
-                 auto_pages: bool = True):
+                 auto_pages: bool = True, ncompact: int = 1):
         self.exact_cull = exact_cull
         self.compact = compact
+        # Tail-wave compaction is net-negative: the last boundaries retire
+        # few rays for a fixed compact+expand cost (teapot_2k sweep,
+        # scripts/probe_r3a/b: ncompact -1/3/2/1 -> 133/128/122/118.5 ms).
+        # Compact only after wave 0 (where ~2/3 of rays retire); bit-exact
+        # either way.
+        self.ncompact = ncompact
         if auto_pages:
-            # Per-lane bounce traversal gathers pages along lanes, which
-            # Mosaic caps at one vreg = 128 pages; bump the page size so the
-            # scene fits (coarser pages cost more tests/ray but far less
-            # than falling back to chunk-union bounces).
+            # Per-lane bounce traversal gathers pages along lanes within
+            # BANKS of one vreg = 128 pages (ops/intersect_perlane: banked
+            # two-level traversal, up to MAX_BANKS banks — the scale-free
+            # range).  Only beyond MAX_BANKS*128 pages (~115k tris at P=56)
+            # does the page size grow.
+            from .ops.intersect_perlane import GROUP, MAX_BANKS
             n = max(len(scene.tris) - 1, 1)
-            while -(-n // page_size) > 128:
+            while -(-n // page_size) > MAX_BANKS * GROUP:
                 page_size += 8
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
@@ -614,8 +636,10 @@ class Engine(RayCaster):
         self.tensors = upload_scene(scene, pages=self.pages)
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
         self.aabb_hi = jnp.asarray(self.pages.aabb_hi)
-        # per-lane traversal tables (bounce waves) need NP <= 128
-        if self.pages.num_pages <= 128:
+        # per-lane traversal tables (bounce waves): banked, up to
+        # MAX_BANKS * 128 pages
+        from .ops.intersect_perlane import GROUP as _G, MAX_BANKS as _MB
+        if self.pages.num_pages <= _MB * _G:
             plt_i, plt_s, ab = build_perlane_tables(self.pages)
             self.plt_i = jnp.asarray(plt_i)
             self.plt_s = jnp.asarray(plt_s)
@@ -696,7 +720,8 @@ class Engine(RayCaster):
                             if lights is not None else None),
                 weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
                 pk0=pk0, nbuf=self.nbuf, bounce_rb=self.bounce_chunk,
-                plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab)
+                plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab,
+                ncompact=self.ncompact)
         else:
             img_dev, wave_counts, primary = _render_device(
                 self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,

@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .compact import STATE_ROWS, _gather_lanes, _onehot, _permute
 from .pages import PACK_LANES, PageTables
-from .shade import _shade_state_rows, scatter_rv
+from .shade import _shade_state_rows, scatter_rv, shadow_uvs
 
 F32 = jnp.float32
 BF16 = jnp.bfloat16
@@ -80,31 +80,54 @@ from .intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
                                ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS)
 
 
+#: max banks: caps the VMEM-resident table at NB*(N_INT+N_SHD)*P*128 f32
+#: (~11 MB at P=56, NB=16) and the scene at NB*128 pages (~115k tris at
+#: P=56) — the scale-free range VERDICT r2 asked for; beyond it the engine
+#: grows the page size again.
+MAX_BANKS = 16
+
+
 def build_perlane_tables(pages: PageTables):
     """Rearrange PK [NP, P, 128] into pages-on-lanes gather tables.
 
-    Returns (PLT_I [N_INT*P, 128], PLT_S [N_SHD*P, 128], AB [128, 128]) as
-    numpy arrays; AB lanes 0..2 = page AABB lo, 3..5 = hi, 6 = page-valid.
-    Requires NP <= 128.
+    Pages are grouped into NB = ceil(NP/128) BANKS of <= 128 pages each
+    (tpu.dynamic_gather lowers only within one 128-lane vreg, so per-lane
+    page selection is bank-local; the traversal loops over banks, carrying
+    the running winner across — the two-level analog of the reference's
+    depth-10 octree, raytrace.rs:790-845, for scenes whose page count
+    exceeds one vreg).  KD page order (ops/pages.kd_order) makes banks
+    spatially compact, so a ray's pages cluster into 1-2 banks.
+
+    Returns (PLT_I [NB*N_INT*P, 128], PLT_S [NB*N_SHD*P, 128],
+    AB [NB*128, 128]) as numpy arrays; AB rows b*128..b*128+127 hold bank
+    b's page AABBs: lanes 0..2 = lo, 3..5 = hi, 6 = page-valid.
     """
     PK = pages.PK
     NP, P, _ = PK.shape
-    assert NP <= GROUP, f"per-lane traversal needs NP <= 128, got {NP}"
+    NB = -(-NP // GROUP)
+    assert NB <= MAX_BANKS, \
+        f"per-lane traversal caps at {MAX_BANKS * GROUP} pages, got {NP}"
 
-    def table(lane0, nf):
-        t = np.transpose(PK[:, :, lane0:lane0 + nf], (2, 1, 0))  # [nf, P, NP]
-        t = t.reshape(nf * P, NP)
-        out = np.zeros((nf * P, GROUP), np.float32)
-        out[:, :NP] = t
-        return out
+    plt_i = np.zeros((NB * N_INT * P, GROUP), np.float32)
+    plt_s = np.zeros((NB * N_SHD * P, GROUP), np.float32)
+    ab = np.zeros((NB * GROUP, PACK_LANES), np.float32)
 
-    plt_i = table(0, N_INT)
-    plt_s = table(N_INT, N_SHD)
+    def table(pk_b, lane0, nf):
+        npb = pk_b.shape[0]
+        t = np.transpose(pk_b[:, :, lane0:lane0 + nf], (2, 1, 0))
+        return t.reshape(nf * P, npb)
 
-    ab = np.zeros((GROUP, PACK_LANES), np.float32)
-    ab[:NP, 0:3] = pages.aabb_lo
-    ab[:NP, 3:6] = pages.aabb_hi
-    ab[:NP, 6] = 1.0
+    for b in range(NB):
+        pk_b = PK[b * GROUP:(b + 1) * GROUP]
+        npb = pk_b.shape[0]
+        plt_i[b * N_INT * P:(b + 1) * N_INT * P, :npb] = table(pk_b, 0, N_INT)
+        plt_s[b * N_SHD * P:(b + 1) * N_SHD * P, :npb] = \
+            table(pk_b, N_INT, N_SHD)
+        ab[b * GROUP:b * GROUP + npb, 0:3] = \
+            pages.aabb_lo[b * GROUP:b * GROUP + npb]
+        ab[b * GROUP:b * GROUP + npb, 3:6] = \
+            pages.aabb_hi[b * GROUP:b * GROUP + npb]
+        ab[b * GROUP:b * GROUP + npb, 6] = 1.0
     return plt_i, plt_s, ab
 
 
@@ -127,8 +150,8 @@ def _slab(ab_ref, o3, d3):
     return tlo, thi, page_ok
 
 
-def _trace_chunk(plt, plts, sub_p, ab_ref, o_v, d_v, a_v, excl_v, dst, P,
-                 RB, any_hit, sort_lanes):
+def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
+                 RB, any_hit, sort_lanes, nb: int = 1):
     """Winner rows for one chunk written into `dst` (a [16, RB] ref).
 
     With sort_lanes, rows land in COUNT-SORTED lane order and the per-lane
@@ -142,19 +165,25 @@ def _trace_chunk(plt, plts, sub_p, ab_ref, o_v, d_v, a_v, excl_v, dst, P,
             sl = slice(g * GROUP, (g + 1) * GROUP)
             _group(plt, plts, sub_p, o_v[:, sl], d_v[:, sl], a_v[:, sl],
                    excl_v[:, sl] if excl_v is not None else None,
-                   ab_ref, dst, sl, P, any_hit)
+                   ab, dst, sl, P, any_hit, nb)
         return None
 
     # --- in-chunk count sort ---
     # 1. per-lane page counts (slab only; recomputed per group below on
-    #    the permuted lanes — cheaper than permuting the hit matrices)
+    #    the permuted lanes — cheaper than permuting the hit matrices),
+    #    summed over banks
     cnts = []
     for g in range(RB // GROUP):
         sl = slice(g * GROUP, (g + 1) * GROUP)
-        tlo, thi, page_ok = _slab(ab_ref, o_v[:, sl], d_v[:, sl])
-        ent = (tlo <= thi) & (thi >= 0.0) & page_ok
-        cnts.append(jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
-                            axis=0, keepdims=True))
+        tot = None
+        for b in range(nb):
+            ab_b = ab[b * GROUP:(b + 1) * GROUP]
+            tlo, thi, page_ok = _slab(ab_b, o_v[:, sl], d_v[:, sl])
+            ent = (tlo <= thi) & (thi >= 0.0) & page_ok
+            c = jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
+                        axis=0, keepdims=True)
+            tot = c if tot is None else tot + c
+        cnts.append(tot)
     cnt = jnp.concatenate(cnts, axis=1)              # [1, RB]
     alive_row = a_v[0:1, :]
     cnt_eff = jnp.where(alive_row != 0.0, cnt, F32(1e9))  # gaps last
@@ -197,13 +226,13 @@ def _trace_chunk(plt, plts, sub_p, ab_ref, o_v, d_v, a_v, excl_v, dst, P,
         sl = slice(g * GROUP, (g + 1) * GROUP)
         _group(plt, plts, sub_p, p8[0:3, sl], p8[3:6, sl], p8[6:7, sl],
                p8[7:8, sl] if excl_v is not None else None,
-               ab_ref, dst, sl, P, any_hit)
+               ab, dst, sl, P, any_hit, nb)
     return dest
 
 
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
             plts_ref, out_ref, sout, *, page_size: int, ray_chunk: int,
-            exclude_id: bool, any_hit: bool, sort_lanes: bool):
+            exclude_id: bool, any_hit: bool, sort_lanes: bool, nb: int):
     P = page_size
     RB = ray_chunk
     row = jax.lax.rem(pl.program_id(0), 8)
@@ -211,13 +240,14 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
 
     @pl.when(flags_ref[row, 0] != 0)
     def _busy():
-        plt = plt_ref[:]                                 # [17P, 128]
-        plts = plts_ref[:]                               # [7P, 128]
+        plt = plt_ref[:]                                 # [nb*17P, 128]
+        plts = plts_ref[:]                               # [nb*7P, 128]
+        ab = ab_ref[:]                                   # [nb*128, 128]
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-        dest = _trace_chunk(plt, plts, sub_p, ab_ref, o_ref[:], d_ref[:],
+        dest = _trace_chunk(plt, plts, sub_p, ab, o_ref[:], d_ref[:],
                             a_ref[:], excl_ref[:] if exclude_id else None,
                             sout if sort_lanes else out_ref, P, RB, any_hit,
-                            sort_lanes)
+                            sort_lanes, nb)
         if sort_lanes:
             # inverse permutation puts winner rows back in lane order:
             # out[l] = sorted[dest[l]] — a tile-blocked gather (bits
@@ -225,15 +255,24 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
             out_ref[:] = _gather_lanes(sout[:], dest, RB)
 
 
-def _kernel_fused(flags_ref, seed_ref, st_ref, ab_ref, plt_ref, plts_ref,
-                  out_ref, sout, *, page_size: int, ray_chunk: int,
-                  fixed_rng: bool, weight_cutoff: float, sort_lanes: bool):
+def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
+                  plts_ref, out_ref, sout, sshd, *, page_size: int,
+                  ray_chunk: int, fixed_rng: bool, weight_cutoff: float,
+                  sort_lanes: bool, nb: int, has_lights: bool):
     """Fused trace + shade: one grid step traces a chunk's rays AND applies
     the wave's shading/scatter/state update while the winner rows are still
     in VMEM.  The separate shade kernel costs ~5 ms/wave in block DMA alone
     (every [16, R] block moves in and out regardless of chunk skipping);
     here the rows never leave the chip memory hierarchy.  Input/output are
-    ops.compact state arrays [16, R]; dead chunks pass through."""
+    ops.compact state arrays [16, R]; dead chunks pass through.
+
+    has_lights additionally fuses the SHADOW FEELER (the commented
+    reference design, raytrace.rs:600-610, 1203-1224) between trace and
+    shade: the winner rows stay in VMEM, each hit lane builds its jittered
+    ray to the light (light_ref SMEM row: ox oy oz len2) and runs the same
+    per-lane traversal in any_hit mode with its own triangle excluded —
+    the unfused path paid a separate full trace kernel + state round trip
+    per wave for this (~2x wall on lights configs, docs/PERF.md sweep)."""
     P = page_size
     RB = ray_chunk
     pid = pl.program_id(0)
@@ -249,28 +288,81 @@ def _kernel_fused(flags_ref, seed_ref, st_ref, ab_ref, plt_ref, plts_ref,
         st = st_ref[:]                                   # [16, RB]
         plt = plt_ref[:]
         plts = plts_ref[:]
+        ab = ab_ref[:]
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-        dest = _trace_chunk(plt, plts, sub_p, ab_ref, st[0:3], st[3:6],
-                            st[7:8], None, sout, P, RB, False, sort_lanes)
+        dest = _trace_chunk(plt, plts, sub_p, ab, st[0:3], st[3:6],
+                            st[7:8], None, sout, P, RB, False, sort_lanes,
+                            nb)
         rows = _gather_lanes(sout[:], dest, RB) if sort_lanes else sout[:]
         rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
                                    fixed_rng)
-        out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, None,
+        shd = None
+        if has_lights:
+            # --- fused shadow feeler (mirrors engine._shadow_mask
+            # op-for-op so fused == unfused bit-exactly under FixedRng) ---
+            alive_row = st[7:8]
+            hid = rows[ROW_ID:ROW_ID + 1]
+            hitm = (alive_row != 0.0) & (hid != 0.0)     # [1, RB]
+            t_row = rows[ROW_T:ROW_T + 1]
+            tm = jnp.where(hitm, t_row, 0.0)
+            p0 = st[0:1] + tm * st[3:4]
+            p1 = st[1:2] + tm * st[4:5]
+            p2 = st[2:3] + tm * st[5:6]
+            n0 = rows[ROW_NORM:ROW_NORM + 1]
+            n1 = rows[ROW_NORM + 1:ROW_NORM + 2]
+            n2 = rows[ROW_NORM + 2:ROW_NORM + 3]
+            back = rows[ROW_ENC:ROW_ENC + 1] >= 8.0
+            nf0 = jnp.where(back, -n0, n0)
+            nf1 = jnp.where(back, -n1, n1)
+            nf2 = jnp.where(back, -n2, n2)
+            u3, u1 = shadow_uvs(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
+                                fixed_rng)
+            lx = light_ref[0, 0]
+            ly = light_ref[0, 1]
+            lz = light_ref[0, 2]
+            ll = light_ref[0, 3]
+            a0 = lx + u3[0:1] * ll - p0
+            a1 = ly + u3[1:2] * ll - p1
+            a2 = lz + u3[2:3] * ll - p2
+            inv = jax.lax.rsqrt(a0 * a0 + a1 * a1 + a2 * a2)
+            sd0, sd1, sd2 = a0 * inv, a1 * inv, a2 * inv
+            off = F32(0.005) * (u1 + F32(1.0))
+            so0 = p0 + nf0 * off
+            so1 = p1 + nf1 * off
+            so2 = p2 + nf2 * off
+            hmf = hitm.astype(F32)
+            so3 = jnp.concatenate(
+                [jnp.where(hitm, so0, 0.0), jnp.where(hitm, so1, 0.0),
+                 jnp.where(hitm, so2, 0.0)], axis=0)
+            sd3 = jnp.concatenate(
+                [jnp.where(hitm, sd0, 0.0), jnp.where(hitm, sd1, 0.0),
+                 jnp.where(hitm, sd2, 0.0)], axis=0)
+            excl = jnp.where(hitm, hid, 0.0)
+            sshd[:] = jnp.zeros_like(sshd)
+            for g in range(RB // GROUP):
+                sl = slice(g * GROUP, (g + 1) * GROUP)
+                _group(plt, plts, sub_p, so3[:, sl], sd3[:, sl],
+                       hmf[:, sl], excl[:, sl], ab, sshd, sl, P, True, nb)
+            sid = sshd[ROW_ID:ROW_ID + 1, :]
+            shd = (hitm & (sid != 0.0)).astype(F32)
+        out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, shd,
                                        weight_cutoff)
 
 
-def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
-           any_hit):
-    """Trace one 128-ray group against its per-lane page lists."""
+def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
+           any_hit, nb: int = 1):
+    """Trace one 128-ray group against its per-lane page lists.
+
+    nb > 1: pages live in nb banks of <= 128 (the dynamic-gather vreg cap);
+    the traversal runs the per-bank while-loop in bank order, carrying the
+    running (t, id) winner across banks — the cross-bank `tlo <= best_t`
+    cut prunes later banks' pages exactly like the in-bank front-to-back
+    cut (bit-exact: any triangle in a dropped page has t >= tlo > best_t).
+    """
     valid = a1[0:1, :] != 0.0                            # [1, 128]
 
     @pl.when(jnp.any(valid))
     def _():
-        # 1. per-lane slab tests vs all page AABBs: [pages, rays]
-        tlo, thi, page_ok = _slab(ab_ref, o3, d3)
-        hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok   # [128p, 128r]
-        hit_f0 = hit.astype(F32)
-
         page_f2 = sub_p.astype(F32)                      # [128, 128] page ids
 
         o0, o1, o2 = (o3[k:k + 1, :] for k in range(3))
@@ -299,95 +391,135 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab_ref, out_ref, sl, P,
                 ok = ok & (ids != excl[0:1, :])
             return t, ok, ids, md_n, (dv0, dv1, dv2)
 
-        def body(carry):
-            work, hit_f, best_t, best_id, best_pg = carry
-            del work
-            if any_hit:
-                # occlusion: any order works — cheapest selection
-                pidx = jnp.min(jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
-                               axis=0, keepdims=True)    # [1, 128]
-                has = pidx < F32(GROUP)
-            else:
-                # front-to-back: each lane's nearest-entry page first (the
-                # reference's traversal order, raytrace.rs:941-947) so the
-                # tlo > best_t cut below retires the rest early.  Greedy
-                # per-step min — an explicit bitonic presort measured ~12%
-                # slower (docs/PERF.md finding #6).  Sentinel is +inf: a
-                # hit page's tlo is finite (but can exceed any fixed BIG
-                # when an axis has d == 0).
-                tkey = jnp.where(hit_f > 0.0, tlo, jnp.inf)
-                kmin = jnp.min(tkey, axis=0, keepdims=True)
-                has = kmin < jnp.inf
-                pidx = jnp.where(
-                    has,
-                    jnp.min(jnp.where(tkey == kmin, page_f2, F32(GROUP)),
-                            axis=0, keepdims=True),
-                    F32(GROUP))                          # [1, 128]
-            page = jnp.where(has, pidx, 0.0)
-            idx = jnp.broadcast_to(page.astype(jnp.int32), plt.shape)
-            G = jnp.take_along_axis(plt, idx, axis=1)    # [17P, 128]
-
-            t, ok, ids, _, _ = predicate(G, has)
-            tt = jnp.where(ok, t, jnp.inf)
-            pmin = jnp.min(tt, axis=0, keepdims=True)
-            pid = jnp.min(jnp.where(tt == pmin, ids, jnp.inf), axis=0,
-                          keepdims=True)
-            upd = (pmin < best_t) | ((pmin == best_t) & ~jnp.isinf(pmin)
-                                     & (pid < best_id))
-            best_t = jnp.where(upd, pmin, best_t)
-            best_id = jnp.where(upd, pid, best_id)
-            best_pg = jnp.where(upd, page, best_pg)
-            # retire the tested page; drop pages that can no longer win
-            # (slab entry beyond the current best — any triangle in such a
-            # page has t >= tlo > best_t, so dropping is bit-exact)
-            keep = (page_f2 != pidx) & (tlo <= best_t)
-            if any_hit:
-                # occlusion query: a lane with ANY hit is done
-                keep = keep & (best_id == 0.0)
-            hit_f = hit_f * keep.astype(F32)
-            return jnp.max(hit_f), hit_f, best_t, best_id, best_pg
-
-        def cond(carry):
-            return carry[0] > 0.0
-
         init_t = jnp.where(valid, jnp.inf, -jnp.inf)
         zero = jnp.zeros_like(init_t)
-        _, _, best_t, best_id, best_pg = jax.lax.while_loop(
-            cond, body, (jnp.max(hit_f0), hit_f0, init_t, zero, zero))
+        best_t, best_id, best_pg = init_t, zero, zero
 
-        # 3. winner extraction: one more gather of the winner page
+        for b in range(nb):
+            ab_b = ab[b * GROUP:(b + 1) * GROUP]
+            plt_b = plt[b * N_INT * P:(b + 1) * N_INT * P]
+
+            # 1. per-lane slab tests vs this bank's page AABBs
+            tlo, thi, page_ok = _slab(ab_b, o3, d3)
+            hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok
+            if b > 0:
+                # cross-bank front-to-back cut + any_hit early exit
+                hit = hit & (tlo <= best_t)
+                if any_hit:
+                    hit = hit & (best_id == 0.0)
+            hit_f0 = hit.astype(F32)
+
+            def body(carry, tlo=tlo, plt_b=plt_b, b=b):
+                work, hit_f, best_t, best_id, best_pg = carry
+                del work
+                if any_hit:
+                    # occlusion: any order works — cheapest selection
+                    pidx = jnp.min(
+                        jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
+                        axis=0, keepdims=True)           # [1, 128]
+                    has = pidx < F32(GROUP)
+                else:
+                    # front-to-back: each lane's nearest-entry page first
+                    # (the reference's traversal order, raytrace.rs:941-947)
+                    # so the tlo > best_t cut below retires the rest early.
+                    # Greedy per-step min — an explicit bitonic presort
+                    # measured ~12% slower (docs/PERF.md finding #6).
+                    # Sentinel is +inf: a hit page's tlo is finite (but can
+                    # exceed any fixed BIG when an axis has d == 0).
+                    tkey = jnp.where(hit_f > 0.0, tlo, jnp.inf)
+                    kmin = jnp.min(tkey, axis=0, keepdims=True)
+                    has = kmin < jnp.inf
+                    pidx = jnp.where(
+                        has,
+                        jnp.min(jnp.where(tkey == kmin, page_f2,
+                                          F32(GROUP)),
+                                axis=0, keepdims=True),
+                        F32(GROUP))                      # [1, 128]
+                page = jnp.where(has, pidx, 0.0)
+                idx = jnp.broadcast_to(page.astype(jnp.int32), plt_b.shape)
+                G = jnp.take_along_axis(plt_b, idx, axis=1)   # [17P, 128]
+
+                t, ok, ids, _, _ = predicate(G, has)
+                tt = jnp.where(ok, t, jnp.inf)
+                pmin = jnp.min(tt, axis=0, keepdims=True)
+                pid = jnp.min(jnp.where(tt == pmin, ids, jnp.inf), axis=0,
+                              keepdims=True)
+                upd = (pmin < best_t) | ((pmin == best_t) & ~jnp.isinf(pmin)
+                                         & (pid < best_id))
+                best_t = jnp.where(upd, pmin, best_t)
+                best_id = jnp.where(upd, pid, best_id)
+                best_pg = jnp.where(upd, page + F32(b * GROUP), best_pg)
+                # retire the tested page; drop pages that can no longer win
+                # (slab entry beyond the current best — any triangle in such
+                # a page has t >= tlo > best_t, so dropping is bit-exact)
+                keep = (page_f2 != pidx) & (tlo <= best_t)
+                if any_hit:
+                    # occlusion query: a lane with ANY hit is done
+                    keep = keep & (best_id == 0.0)
+                hit_f = hit_f * keep.astype(F32)
+                return jnp.max(hit_f), hit_f, best_t, best_id, best_pg
+
+            def cond(carry):
+                return carry[0] > 0.0
+
+            _, _, best_t, best_id, best_pg = jax.lax.while_loop(
+                cond, body,
+                (jnp.max(hit_f0), hit_f0, best_t, best_id, best_pg))
+
+        # 3. winner extraction: one more gather of the winner page (per
+        # bank for nb > 1 — the gather source table is bank-local)
         hitl = best_id != 0.0                            # [1, 128]
-        idxw = jnp.broadcast_to(best_pg.astype(jnp.int32), plt.shape)
-        Gw = jnp.take_along_axis(plt, idxw, axis=1)
-        idxs = jnp.broadcast_to(best_pg.astype(jnp.int32), plts.shape)
-        Gs = jnp.take_along_axis(plts, idxs, axis=1)     # [7P, 128]
+        rows_acc = None
+        for b in range(nb):
+            if nb == 1:
+                in_b = hitl
+                local = best_pg
+            else:
+                in_b = hitl & (best_pg >= F32(b * GROUP)) \
+                    & (best_pg < F32((b + 1) * GROUP))
+                local = jnp.clip(best_pg - F32(b * GROUP), 0.0,
+                                 F32(GROUP - 1))
+            plt_b = plt[b * N_INT * P:(b + 1) * N_INT * P]
+            plts_b = plts[b * N_SHD * P:(b + 1) * N_SHD * P]
+            idxw = jnp.broadcast_to(local.astype(jnp.int32), plt_b.shape)
+            Gw = jnp.take_along_axis(plt_b, idxw, axis=1)
+            idxs = jnp.broadcast_to(local.astype(jnp.int32), plts_b.shape)
+            Gs = jnp.take_along_axis(plts_b, idxs, axis=1)    # [7P, 128]
 
-        t, ok, ids, md_n, (dv0, dv1, dv2) = predicate(Gw, hitl)
-        win = (ids == best_id) & hitl                    # [P, 128] one-hot
-        wf = win.astype(F32)
+            t, ok, ids, md_n, (dv0, dv1, dv2) = predicate(Gw, in_b)
+            win = (ids == best_id) & in_b                # [P, 128] one-hot
+            wf = win.astype(F32)
 
-        def ext(v):
-            return jnp.sum(wf * v, axis=0, keepdims=True)
+            def ext(v, wf=wf):
+                return jnp.sum(wf * v, axis=0, keepdims=True)
 
-        def featS(f):
-            return Gs[f * P:(f + 1) * P, :]
+            def featS(f, Gs=Gs):
+                return Gs[f * P:(f + 1) * P, :]
 
-        inv_et = 1.0 - featS(0)                          # 1 - edge_thickness
-        edge = (dv0 > inv_et) | (dv1 > inv_et) | (dv2 > inv_et)
-        back = md_n > 0.0
-        enc = featS(1) + 4.0 * edge.astype(F32) + 8.0 * back.astype(F32)
+            inv_et = 1.0 - featS(0)                      # 1 - edge_thickness
+            edge = (dv0 > inv_et) | (dv1 > inv_et) | (dv2 > inv_et)
+            back = md_n > 0.0
+            enc = featS(1) + 4.0 * edge.astype(F32) + 8.0 * back.astype(F32)
+
+            rows_b = [ext(feat(Gw, 0)), ext(feat(Gw, 1)), ext(feat(Gw, 2)),
+                      ext(enc), ext(featS(2)), ext(featS(3)), ext(featS(4)),
+                      ext(featS(5)), ext(featS(6))]
+            if rows_acc is None:
+                rows_acc = rows_b
+            else:
+                rows_acc = [a + v for a, v in zip(rows_acc, rows_b)]
 
         out_ref[ROW_T:ROW_T + 1, sl] = best_t
         out_ref[ROW_ID:ROW_ID + 1, sl] = best_id
-        out_ref[ROW_NORM:ROW_NORM + 1, sl] = ext(feat(Gw, 0))
-        out_ref[ROW_NORM + 1:ROW_NORM + 2, sl] = ext(feat(Gw, 1))
-        out_ref[ROW_NORM + 2:ROW_NORM + 3, sl] = ext(feat(Gw, 2))
-        out_ref[ROW_ENC:ROW_ENC + 1, sl] = ext(enc)
-        out_ref[ROW_COLOR:ROW_COLOR + 1, sl] = ext(featS(2))
-        out_ref[ROW_COLOR + 1:ROW_COLOR + 2, sl] = ext(featS(3))
-        out_ref[ROW_COLOR + 2:ROW_COLOR + 3, sl] = ext(featS(4))
-        out_ref[ROW_ALPHA:ROW_ALPHA + 1, sl] = ext(featS(5))
-        out_ref[ROW_SCAT:ROW_SCAT + 1, sl] = ext(featS(6))
+        out_ref[ROW_NORM:ROW_NORM + 1, sl] = rows_acc[0]
+        out_ref[ROW_NORM + 1:ROW_NORM + 2, sl] = rows_acc[1]
+        out_ref[ROW_NORM + 2:ROW_NORM + 3, sl] = rows_acc[2]
+        out_ref[ROW_ENC:ROW_ENC + 1, sl] = rows_acc[3]
+        out_ref[ROW_COLOR:ROW_COLOR + 1, sl] = rows_acc[4]
+        out_ref[ROW_COLOR + 1:ROW_COLOR + 2, sl] = rows_acc[5]
+        out_ref[ROW_COLOR + 2:ROW_COLOR + 3, sl] = rows_acc[6]
+        out_ref[ROW_ALPHA:ROW_ALPHA + 1, sl] = rows_acc[7]
+        out_ref[ROW_SCAT:ROW_SCAT + 1, sl] = rows_acc[8]
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
@@ -442,12 +574,13 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
         in_specs.append(pl.BlockSpec((1, RB), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         args.append(arow)
+    NB = plt_i.shape[0] // (N_INT * page_size)
     in_specs += [
-        pl.BlockSpec((GROUP, PACK_LANES), lambda i: (0, 0),
+        pl.BlockSpec((NB * GROUP, PACK_LANES), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_INT * page_size, GROUP), lambda i: (0, 0),
+        pl.BlockSpec((NB * N_INT * page_size, GROUP), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_SHD * page_size, GROUP), lambda i: (0, 0),
+        pl.BlockSpec((NB * N_SHD * page_size, GROUP), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args += [ab, plt_i, plt_s]
@@ -468,7 +601,7 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
     out = pl.pallas_call(
         functools.partial(_kernel, page_size=page_size, ray_chunk=RB,
                           exclude_id=exclude_id, any_hit=any_hit,
-                          sort_lanes=sort_lanes),
+                          sort_lanes=sort_lanes, nb=NB),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,
@@ -483,7 +616,7 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
                                page_size: int, ray_chunk: int,
                                fixed_rng: bool, weight_cutoff: float,
                                chunk_live=None, interpret: bool = False,
-                               sort_lanes=None):
+                               sort_lanes=None, light=None):
     """One bounce wave = trace + shade + state update, fused per chunk.
 
     state: [16, R] (ops.compact layout; o rows 0..2, d rows 3..5, alive row
@@ -504,7 +637,12 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
     flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
         chunk_live.astype(jnp.int32))
     seed2 = jnp.zeros((1, 2), jnp.int32).at[0].set(seed.astype(jnp.int32))
+    has_lights = light is not None
+    light8 = jnp.zeros((1, 8), F32)
+    if has_lights:
+        light8 = light8.at[0, 0:4].set(light.astype(F32))
 
+    NB = plt_i.shape[0] // (N_INT * page_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(NC,),
@@ -512,13 +650,14 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, PACK_LANES), lambda i: (0, 0),
+            pl.BlockSpec((NB * GROUP, PACK_LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_INT * page_size, GROUP), lambda i: (0, 0),
+            pl.BlockSpec((NB * N_INT * page_size, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_SHD * page_size, GROUP), lambda i: (0, 0),
+            pl.BlockSpec((NB * N_SHD * page_size, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -527,15 +666,17 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
         ],
         scratch_shapes=[
             pltpu.VMEM((TRACE_ROWS, RB), F32),
+            pltpu.VMEM((TRACE_ROWS, RB), F32),
         ],
     )
 
     out = pl.pallas_call(
         functools.partial(_kernel_fused, page_size=page_size, ray_chunk=RB,
                           fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
-                          sort_lanes=sort_lanes),
+                          sort_lanes=sort_lanes, nb=NB,
+                          has_lights=has_lights),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((STATE_ROWS, R), F32)],
         interpret=interpret,
-    )(flags, seed2, state.astype(F32), ab, plt_i, plt_s)[0]
+    )(flags, seed2, light8, state.astype(F32), ab, plt_i, plt_s)[0]
     return out

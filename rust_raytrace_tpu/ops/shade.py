@@ -88,6 +88,40 @@ def scatter_rv(seed0, seed1, chunk, rb: int, fixed_rng: bool):
     return _unit3(v[0:1], v[1:2], v[2:3])
 
 
+def _mix32(word, seed0, seed1, chunk, salt: int):
+    """lowbias32 finalizer over a counter word (same mixer as scatter_rv,
+    decorrelated by `salt`); returns uniforms in [0, 1)."""
+    x = word ^ seed1.astype(jnp.uint32)
+    x = x * jnp.uint32(747796405) + seed0.astype(jnp.uint32) \
+        + chunk.astype(jnp.uint32) * jnp.uint32(2654435761) \
+        + jnp.uint32(salt)
+    for mul, sh in ((0xED5AD4BB, 17), (0xAC4C1B51, 11), (0x31848BAB, 15)):
+        x = x ^ jnp.right_shift(x, jnp.uint32(sh))
+        x = x * jnp.uint32(mul)
+    x = x ^ jnp.right_shift(x, jnp.uint32(14))
+    return jax.lax.bitcast_convert_type(
+        jnp.right_shift(x, jnp.uint32(9)) | jnp.uint32(0x3F800000),
+        F32) - 1.0
+
+
+def shadow_uvs(seed0, seed1, chunk, rb: int, fixed_rng: bool):
+    """Shadow-feeler jitter (the commented get_shadow_ray design,
+    raytrace.rs:600-610): u3 [3, rb] light-point jitter + u1 [1, rb] origin
+    offset jitter, all in [0, 1).  fixed_rng pins both at 0.5 — the same
+    constants engine._shadow_mask uses, so the fused path stays bit-exact
+    with the unfused one under FixedRng."""
+    if fixed_rng:
+        half = jnp.full((3, rb), 0.5, F32)
+        return half, jnp.full((1, rb), 0.5, F32)
+    word3 = (jax.lax.broadcasted_iota(jnp.uint32, (3, rb), 0)
+             * jnp.uint32(rb)
+             + jax.lax.broadcasted_iota(jnp.uint32, (3, rb), 1))
+    u3 = _mix32(word3, seed0, seed1, chunk, 0x7EE3D0B1)
+    word1 = jax.lax.broadcasted_iota(jnp.uint32, (1, rb), 1)
+    u1 = _mix32(word1, seed0, seed1, chunk, 0x51AB7F03)
+    return u3, u1
+
+
 def shade_state_rows(st, rows, rv0, rv1, rv2, shd, weight_cutoff: float):
     """One wave's shade + scatter + state update as a pure function of
     values: st [16, RB] (ops.compact layout), rows [16, RB] trace winner

@@ -63,3 +63,33 @@ def test_engine_compact_equals_no_compact():
     i1 = e1.render(vp, fixed_rng=True, quantize=False).image
     i0 = e0.render(vp, fixed_rng=True, quantize=False).image
     np.testing.assert_array_equal(i1, i0)
+
+
+@pytest.mark.needs_teapot
+def test_lights_fused_equals_unfused():
+    """Lights bit-exactness contract (VERDICT r2 weak #7): the compacted
+    engine fuses the shadow feeler INTO the per-lane bounce kernel; the
+    legacy (compact=False) path runs the unfused cull -> union-kernel shadow
+    trace -> shade chain.  Under FixedRng both build identical shadow rays
+    (u3 = u1 = 0.5 constants) and the kernels share the predicate formulas,
+    so the images must agree BITWISE — the lights analog of
+    test_engine_compact_equals_no_compact."""
+    from rust_raytrace_tpu.models import teapot
+    from rust_raytrace_tpu.scene import LightSource
+
+    scene, vp = teapot.build(resolution=(48, 32))
+    scene.lights = LightSource(orig=np.asarray([0.0, 18.0, 8.0],
+                                               dtype=np.float32), len2=0.5)
+    e1 = Engine(scene, page_size=64, ray_chunk=256, interpret=True,
+                compact=True)
+    e0 = Engine(scene, page_size=64, ray_chunk=256, interpret=True,
+                compact=False)
+    i1 = e1.render(vp, fixed_rng=True, quantize=False).image
+    i0 = e0.render(vp, fixed_rng=True, quantize=False).image
+    np.testing.assert_array_equal(i1, i0)
+    # and the shadow feeler must actually bite somewhere
+    scene.lights = None
+    nolight = Engine(scene, page_size=64, ray_chunk=256,
+                     interpret=True).render(vp, fixed_rng=True,
+                                            quantize=False).image
+    assert (np.abs(i1 - nolight) > 1 / 255).any()

@@ -116,6 +116,83 @@ def test_sort_lanes_bit_exact(scene, scattered_rays):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_banked_multibank_matches_model():
+    """NP > 128 forces the banked (two-level) traversal: a dense sphere
+    shell at page_size=8 spans 3 banks of 128 pages.  The kernel must match
+    the model exactly (ids) — the cross-bank carry and per-bank extraction
+    are the new machinery under test (VERDICT r2 missing #2)."""
+    import jax.numpy as jnp
+
+    from rust_raytrace_tpu.ops.intersect_perlane import (
+        ROW_ID, ROW_T, build_perlane_tables, trace_perlane_pallas)
+    from rust_raytrace_tpu.ops.pages import build_pages_kd
+
+    s = make_sphere((0.0, 0.0, 6.0), 2.0, (24, 48),
+                    solid(m3.make_color((200, 60, 60))), -1.0)
+    floor = make_triangles(
+        np.asarray([[[-20, -3, -10], [20, -3, -10], [0, -3, 40]]], dtype=F32),
+        solid(m3.make_color((120, 120, 120))), 0.0)
+    sc = assemble([s, floor])
+    pages = build_pages_kd(sc.tris, page_size=8)
+    assert pages.num_pages > 128, pages.num_pages
+    plt_i, plt_s, ab = build_perlane_tables(pages)
+    assert plt_i.shape[0] // (17 * 8) >= 2       # really multi-bank
+
+    rng = np.random.default_rng(11)
+    R = 2 * RB
+    o = rng.uniform(-3, 3, size=(R, 3)).astype(F32)
+    o[:, 2] += 6.0
+    d = rng.normal(size=(R, 3)).astype(F32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    alive = rng.uniform(size=R) > 0.1
+
+    out = np.asarray(trace_perlane_pallas(
+        jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(alive),
+        jnp.asarray(plt_i), jnp.asarray(plt_s), jnp.asarray(ab),
+        page_size=8, ray_chunk=RB, interpret=True))
+    t_k, id_k = out[ROW_T], out[ROW_ID].astype(np.int32)
+    t_m, id_m = nearest_hit_model(o, d, pages, tie="lex")
+
+    assert (id_k[~alive] == 0).all()
+    assert ((id_k != 0) == (id_m != 0))[alive].all()
+    hit = alive & (id_m != 0)
+    np.testing.assert_allclose(t_k[hit], t_m[hit], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(id_k[hit], id_m[hit])
+
+
+def test_banked_any_hit():
+    """Occlusion (any_hit) across banks: hit-set equality with nearest."""
+    import jax.numpy as jnp
+
+    from rust_raytrace_tpu.ops.intersect_perlane import (
+        ROW_ID, build_perlane_tables, trace_perlane_pallas)
+    from rust_raytrace_tpu.ops.pages import build_pages_kd
+
+    s = make_sphere((0.0, 0.0, 6.0), 2.0, (24, 48),
+                    solid(m3.make_color((200, 60, 60))), -1.0)
+    sc = assemble([s])
+    pages = build_pages_kd(sc.tris, page_size=8)
+    assert pages.num_pages > 128
+    plt_i, plt_s, ab = build_perlane_tables(pages)
+
+    rng = np.random.default_rng(3)
+    R = RB
+    o = rng.uniform(-4, 4, size=(R, 3)).astype(F32)
+    o[:, 2] += 6.0
+    d = rng.normal(size=(R, 3)).astype(F32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    alive = np.ones(R, dtype=bool)
+
+    outs = []
+    for ah in (False, True):
+        outs.append(np.asarray(trace_perlane_pallas(
+            jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(alive),
+            jnp.asarray(plt_i), jnp.asarray(plt_s), jnp.asarray(ab),
+            page_size=8, ray_chunk=RB, interpret=True,
+            any_hit=ah))[ROW_ID].astype(np.int32))
+    np.testing.assert_array_equal(outs[0] != 0, outs[1] != 0)
+
+
 def test_excluded_id(scene, scattered_rays):
     """Shadow-feeler exclusion: the excluded triangle never wins, and the
     result equals the model run with that triangle masked out."""
