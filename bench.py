@@ -150,6 +150,36 @@ def main():
         dt = (time.perf_counter() - t0) / N
         extras["pipelined_mrays_per_sec"] = round(dev_rays / dt / 1e6, 3)
         extras["pipelined_seconds_per_render"] = round(dt, 4)
+
+        # --- per-config device metrics (all five BASELINE configs) ---
+        from rust_raytrace_tpu.models import circles, multi
+        from rust_raytrace_tpu.models import teapot as teapot_m
+        from rust_raytrace_tpu.utils.devbench import device_metric
+
+        cfgs = [
+            ("circles_2k", lambda: circles.build(resolution="2k"), 1),
+            ("teapot_512_spp4",
+             lambda: teapot_m.build(resolution=(512, 512), samples=4), 4),
+            ("teapot_2k_shadows",
+             lambda: teapot_m.build(resolution="2k", with_light=True), 1),
+            ("teapot_4k", lambda: teapot_m.build(resolution="4k"), 1),
+            ("multi_2k", lambda: multi.build(resolution="2k"), 1),
+        ]
+        cfg_out = {}
+        for cname, build, spp in cfgs:
+            try:
+                sc, vpc = build()
+                ec = Engine(sc)
+                mr, cdt, crays = device_metric(ec, vpc, ND=4, nruns=2,
+                                               spp=spp)
+                cfg_out[cname] = {
+                    "device_mrays_per_sec": round(mr, 3),
+                    "device_seconds": round(cdt, 4),
+                    "rays": crays,
+                }
+            except Exception as e:   # keep the headline even if one
+                cfg_out[cname] = {"error": f"{type(e).__name__}"}
+        extras["configs"] = cfg_out
     else:
         from rust_raytrace_tpu.render import WavefrontRenderer
 

@@ -394,7 +394,7 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                                     "fixed_rng", "interpret", "want_primary",
                                     "quantize", "has_lights", "weight_cutoff",
                                     "nbuf", "cb", "bounce_rb",
-                                    "profile_skip", "ncompact"))
+                                    "profile_skip", "ncompact", "spp"))
 def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            key, maxdepth: int, ray_chunk: int,
                            page_size: int, fixed_rng: bool, interpret: bool,
@@ -404,7 +404,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            pk0=None, nbuf: int = 2, cb: int = DEFAULT_CB,
                            bounce_rb: int = 0, plt_i=None, plt_s=None,
                            ab_tab=None, profile_skip: tuple = (),
-                           ncompact: int = -1):
+                           ncompact: int = -1, spp: int = 1):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -585,6 +585,12 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
 
     img = y[0:3]
     if quantize:
+        if spp > 1:
+            # box-filter sample average (raytrace.rs:1426): a pixel's spp
+            # samples ride adjacent lanes in tile order (tile_permutation),
+            # so the fold is a reshape — the per-ray pipeline above is
+            # sample-count agnostic (samples are just rays).
+            img = img.reshape(3, R // spp, spp).mean(axis=-1)
         img = _quantize_u8(img)
     return img, jnp.stack(wave_counts), primary, cull0
 
@@ -705,7 +711,10 @@ class Engine(RayCaster):
         alive0 = jnp.arange(R) < R0
 
         lights = self.scene.lights
-        use_compact = self.compact and spp == 1 and self.exact_cull
+        # spp > 1: samples are just rays to the compacted pipeline; the
+        # only spp-aware op is the final on-device box-filter average
+        use_compact = self.compact and self.exact_cull \
+            and (spp == 1 or R % spp == 0)
         cull0 = None
         if use_compact:
             img_dev, wave_counts, primary, cull0 = _render_device_compact(
@@ -721,7 +730,7 @@ class Engine(RayCaster):
                 weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
                 pk0=pk0, nbuf=self.nbuf, bounce_rb=self.bounce_chunk,
                 plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab,
-                ncompact=self.ncompact)
+                ncompact=self.ncompact, spp=spp)
         else:
             img_dev, wave_counts, primary = _render_device(
                 self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,

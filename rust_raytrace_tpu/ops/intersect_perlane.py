@@ -171,11 +171,19 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     # --- in-chunk count sort ---
     # 1. per-lane page counts (slab only; recomputed per group below on
     #    the permuted lanes — cheaper than permuting the hit matrices),
-    #    summed over banks
+    #    summed over banks; for nb > 1 also each lane's PRIMARY bank
+    #    (first bank holding any of its pages) — the sort key leads with
+    #    it so gather groups become bank-homogeneous and the per-bank
+    #    while-loops degenerate to empty for every other bank (without
+    #    this, a mixed group pays every bank's max step count: multi_2k
+    #    measured 2.97x teapot per-ray before, scripts/probe_r3c).
     cnts = []
+    pbs = []
     for g in range(RB // GROUP):
         sl = slice(g * GROUP, (g + 1) * GROUP)
         tot = None
+        empty_so_far = None
+        pb = None
         for b in range(nb):
             ab_b = ab[b * GROUP:(b + 1) * GROUP]
             tlo, thi, page_ok = _slab(ab_b, o_v[:, sl], d_v[:, sl])
@@ -183,7 +191,13 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
             c = jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
                         axis=0, keepdims=True)
             tot = c if tot is None else tot + c
+            if nb > 1:
+                empty_b = (c == 0.0).astype(F32)
+                empty_so_far = empty_b if empty_so_far is None                     else empty_so_far * empty_b
+                pb = empty_so_far if pb is None else pb + empty_so_far
         cnts.append(tot)
+        if nb > 1:
+            pbs.append(pb)
     cnt = jnp.concatenate(cnts, axis=1)              # [1, RB]
     alive_row = a_v[0:1, :]
     cnt_eff = jnp.where(alive_row != 0.0, cnt, F32(1e9))  # gaps last
@@ -194,6 +208,11 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     qsum = jnp.zeros_like(cnt)
     for thr in SORT_THRESH:
         qsum = qsum + jnp.where(cnt_eff > F32(thr), F32(1.0), F32(0.0))
+    if nb > 1:
+        pball = jnp.concatenate(pbs, axis=1)         # [1, RB] leading-empty
+        pb_eff = jnp.where(alive_row != 0.0, pball, F32(nb))
+        qsum = jnp.minimum(pb_eff, F32(nb)) * F32(nbk) + qsum
+        nbk = (nb + 1) * nbk
     masks = jnp.concatenate(
         [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
          for q in range(nbk)], axis=0)               # [nbk, RB]
