@@ -67,7 +67,8 @@ def main():
         ncompact=2)
     run("synthetic_100k vmem64m", synthetic_100k,
         copts={"xla_tpu_scoped_vmem_limit_kib": "65536"})
-    run("synthetic_100k rb512", synthetic_100k, bounce_chunk=512)
+    run("synthetic_100k rb512", synthetic_100k, bounce_chunk=512,
+        copts={"xla_tpu_scoped_vmem_limit_kib": "65536"})
     run("teapot_2k check", lambda: teapot.build(resolution="2k"))
 
 
