@@ -533,10 +533,16 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
         if rows is not None:
             shadowed = None
             if has_lights:
+                # Wave-0 shadow feelers all point at the same light from
+                # tile-coherent hit points — the packet-culled union kernel
+                # beats per-lane any_hit on coherent rays (the same reason
+                # wave-0 TRACE uses it); bounce waves' shadow passes ride
+                # the fused per-lane kernel above.
                 shadowed = _shadow_mask(st, aabb_lo, aabb_hi, o_w, d_w,
                                         alive, rows, key, wave, fixed_rng,
                                         light_orig, light_len2, page_size,
-                                        rb_w, interpret, nbuf, plt_i=plt_i,
+                                        rb_w, interpret, nbuf,
+                                        plt_i=None if wave == 0 else plt_i,
                                         plt_s=plt_s, ab_tab=ab_tab)
 
             # Shade + scatter RNG + state update: one chunk-skipping Pallas
