@@ -617,14 +617,25 @@ class Engine(RayCaster):
                  pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
                  bounce_chunk: int = 0, nbuf: int = 4,
                  exact_cull: bool = True, compact: bool = True,
-                 auto_pages: bool = True, ncompact: int = 1):
+                 auto_pages: bool = True, ncompact: Optional[int] = None):
         self.exact_cull = exact_cull
         self.compact = compact
-        # Tail-wave compaction is net-negative: the last boundaries retire
-        # few rays for a fixed compact+expand cost (teapot_2k sweep,
-        # scripts/probe_r3a/b: ncompact -1/3/2/1 -> 133/128/122/118.5 ms).
-        # Compact only after wave 0 (where ~2/3 of rays retire); bit-exact
-        # either way.
+        if ncompact is None:
+            # Tail-wave compaction boundaries cost a fixed ~5 ms each in
+            # compact+expand; whether they pay depends on how long rays
+            # survive.  Low-alpha scenes (teapot: matte 0.2) kill most
+            # weight by wave 2 — compact ONLY after wave 0 (chip sweep
+            # ncompact -1/3/2/1 -> 133/128/122/118.5 ms, probe_r3a/b).
+            # Higher-alpha scenes keep rays alive longer and want one more
+            # boundary: multi measured 46.3/47.2/47.9 ns/ray at nc 2/-1/1;
+            # circles 33.0/33.2/36.8 at -1/2/1 (probe_r3d/h).  The
+            # tri-count-weighted mean scatter alpha is a cheap static
+            # predictor of survival: > 0.25 -> 2, else 1.
+            tris = scene.tris
+            kinds = tris.materials.kind[1:]
+            alphas = np.where(kinds == 0, 0.0, tris.materials.alpha[1:])
+            mean_alpha = float(alphas.mean()) if len(alphas) else 0.0
+            ncompact = 2 if mean_alpha > 0.25 else 1
         self.ncompact = ncompact
         if auto_pages:
             # Per-lane bounce traversal gathers pages along lanes within
