@@ -583,6 +583,9 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     # Reassemble: walk the permutations backward so accum lands back in
     # original tile order.  Only rows 8..11 (accum + dead flag) matter for
     # the image — half the expansion payload of the full 8-row harvest.
+    # 4 rows (accum + dead flag) even though only accum is consumed: a
+    # 3-row expansion payload measured ~1 ms SLOWER on chip (probe_r3i —
+    # sub-8-sublane blocks pad back to 8 anyway and lose layout affinity).
     y = state[ROW_ACC:ROW_ACC + 4]
     if "expand" not in profile_skip:
         for w in range(len(metas) - 1, -1, -1):

@@ -461,7 +461,12 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
 
     state: [16, R] ops.compact layout (o rows 0..2 — or the folded pinhole
     when zero_origin — d rows 3..5, alive row 7); seed: [2] uint32.
-    Returns the post-wave state [16, R]."""
+    Returns the post-wave state [16, R].
+
+    No chunk_live skipping here (ADVICE r2): since banked per-lane
+    traversal covers every NP the engine builds, this kernel only ever
+    runs WAVE 0, where all chunks are live by construction — a skip flag
+    would never fire."""
     RB = ray_chunk
     R = state.shape[1]
     NC = R // RB

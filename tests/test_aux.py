@@ -123,3 +123,23 @@ def test_depth_indented_trace_logging(caplog):
     # depth indentation present: a depth>=1 node line starts with a space
     assert any(r.msg.startswith("%sBounding box") and r.args[0] == " "
                for r in caplog.records) or " Bounding box:" in text
+
+
+def test_engine_auto_ncompact_heuristic():
+    """Scene-adaptive compaction depth: low-alpha scenes (teapot) compact
+    only after wave 0; higher-alpha reflective scenes (circles, multi) get
+    a second boundary (chip-measured optima, docs/PERF.md)."""
+    from rust_raytrace_tpu.engine import Engine
+    from rust_raytrace_tpu.models import circles, multi, teapot
+
+    s, _ = circles.build(resolution=(16, 16))
+    assert Engine(s, interpret=True).ncompact == 2
+    s, _ = multi.build(resolution=(16, 16))
+    assert Engine(s, interpret=True).ncompact == 2
+    try:
+        s, _ = teapot.build(resolution=(16, 16))
+    except Exception:
+        return                      # teapot asset unavailable
+    assert Engine(s, interpret=True).ncompact == 1
+    # explicit override still wins
+    assert Engine(s, interpret=True, ncompact=-1).ncompact == -1
