@@ -663,9 +663,13 @@ class Engine(RayCaster):
         self.aabb_lo = jnp.asarray(self.pages.aabb_lo)
         self.aabb_hi = jnp.asarray(self.pages.aabb_hi)
         # per-lane traversal tables (bounce waves): banked, up to
-        # MAX_BANKS * 128 pages
+        # MAX_BANKS * 128 pages.  The VMEM-resident tables cost ~96 B per
+        # TRIANGLE SLOT regardless of page size, so beyond ~130k tris
+        # (tables alone > ~12 MiB) bounce waves fall back to the union
+        # kernel (slower but HBM-streaming: correct at any scene scale).
         from .ops.intersect_perlane import GROUP as _G, MAX_BANKS as _MB
-        if self.pages.num_pages <= _MB * _G:
+        slots = self.pages.num_pages * self.pages.page_size
+        if self.pages.num_pages <= _MB * _G and slots <= 131072:
             plt_i, plt_s, ab = build_perlane_tables(self.pages)
             self.plt_i = jnp.asarray(plt_i)
             self.plt_s = jnp.asarray(plt_s)
