@@ -191,11 +191,39 @@ def cull_sorted_pallas(ot, dt, valid, blo, bhi, ray_chunk: int,
     return counts, plist, ptmin[:NC]
 
 
-def _kernel(flags_ref, o_ref, d_ref, v_ref, lo_ref, hi_ref,
-            mask_ref, tmin_ref):
-    """One chunk vs all pages.  lo/hi: [NPpad, 128] VMEM (lanes 0..2 = xyz).
+def _slab_rows(lo_rows, hi_rows, o_ref, d_ref):
+    """Slab intervals of the given AABB rows vs this chunk's rays:
+    (tlo, thi) each [rows, RB]."""
+    tlo = None
+    thi = None
+    for k in range(3):
+        o_k = o_ref[k:k + 1, :]                         # [1, RB]
+        d_k = d_ref[k:k + 1, :]
+        inv = jnp.where(d_k != 0.0, 1.0 / d_k,
+                        jnp.where(d_k >= 0.0, F32(BIG), F32(-BIG)))
+        lo_k = lo_rows[:, k:k + 1]                      # [rows, 1]
+        hi_k = hi_rows[:, k:k + 1]
+        t1 = (lo_k - o_k) * inv                         # [rows, RB]
+        t2 = (hi_k - o_k) * inv
+        alo = jnp.minimum(t1, t2)
+        ahi = jnp.maximum(t1, t2)
+        tlo = alo if tlo is None else jnp.maximum(tlo, alo)
+        thi = ahi if thi is None else jnp.minimum(thi, ahi)
+    return tlo, thi
+
+
+def _kernel(flags_ref, o_ref, d_ref, v_ref, lo_ref, hi_ref, lob_ref,
+            hib_ref, mask_ref, tmin_ref, smask, stmin, *, nb: int):
+    """One chunk vs all pages.  lo/hi: [NPpad, 128] VMEM (lanes 0..2 = xyz);
+    lob/hib: [16, 128] BANK AABBs (union boxes of each 128-page block).
     Outputs are [8, NPpad] blocks shared by 8 consecutive chunks (Mosaic
-    requires sublane-dim-8 blocks); this chunk writes row i % 8."""
+    requires sublane-dim-8 blocks); this chunk writes row i % 8.
+
+    nb > 1: each 128-page bank's fine slab runs only if some ray of the
+    chunk enters the bank's AABB — page boxes are subsets and f32 slab
+    bounds are monotone in the box planes, so skipped banks provably have
+    mask 0 (conservative-exact; same outputs as the ungated form).  At
+    NP = 1784 the ungated slab was 55 ms/render (probe_r3j)."""
     row = jax.lax.rem(pl.program_id(0), 8)
 
     @pl.when(flags_ref[row, 0] == 0)
@@ -206,26 +234,37 @@ def _kernel(flags_ref, o_ref, d_ref, v_ref, lo_ref, hi_ref,
     @pl.when(flags_ref[row, 0] != 0)
     def _live():
         valid = v_ref[0:1, :] != 0.0                    # [1, RB]
-        tlo = None
-        thi = None
-        for k in range(3):
-            o_k = o_ref[k:k + 1, :]                     # [1, RB]
-            d_k = d_ref[k:k + 1, :]
-            inv = jnp.where(d_k != 0.0, 1.0 / d_k,
-                            jnp.where(d_k >= 0.0, F32(BIG), F32(-BIG)))
-            lo_k = lo_ref[:, k:k + 1]                   # [NPpad, 1]
-            hi_k = hi_ref[:, k:k + 1]
-            t1 = (lo_k - o_k) * inv                     # [NPpad, RB]
-            t2 = (hi_k - o_k) * inv
-            alo = jnp.minimum(t1, t2)
-            ahi = jnp.maximum(t1, t2)
-            tlo = alo if tlo is None else jnp.maximum(tlo, alo)
-            thi = ahi if thi is None else jnp.minimum(thi, ahi)
 
-        hit = (tlo <= thi) & (thi >= 0.0) & valid       # [NPpad, RB]
-        entry = jnp.where(hit, jnp.maximum(tlo, 0.0), jnp.inf)
-        mask_ref[row, :] = jnp.max(hit.astype(F32), axis=1)
-        tmin_ref[row, :] = jnp.min(entry, axis=1)
+        def fine(lo_rows, hi_rows, out_sl, mref, tref, orow):
+            tlo, thi = _slab_rows(lo_rows, hi_rows, o_ref, d_ref)
+            hit = (tlo <= thi) & (thi >= 0.0) & valid   # [rows, RB]
+            entry = jnp.where(hit, jnp.maximum(tlo, 0.0), jnp.inf)
+            mref[orow, out_sl] = jnp.max(hit.astype(F32), axis=1)
+            tref[orow, out_sl] = jnp.min(entry, axis=1)
+
+        if nb == 1:
+            fine(lo_ref[:], hi_ref[:], slice(None), mask_ref, tmin_ref, row)
+            return
+
+        # Mosaic can't do a partial-lane store at a DYNAMIC sublane (`row`),
+        # so banks stage into scratch row 0 (static) and one full-row store
+        # publishes the result.
+        tlo_b, thi_b = _slab_rows(lob_ref[:], hib_ref[:], o_ref, d_ref)
+        ent_b = (tlo_b <= thi_b) & (thi_b >= 0.0) & valid   # [16, RB]
+        for b in range(nb):
+            sl = slice(b * 128, (b + 1) * 128)
+
+            @pl.when(jnp.any(ent_b[b:b + 1, :]))
+            def _bank(b=b, sl=sl):
+                fine(lo_ref[sl], hi_ref[sl], sl, smask, stmin, 0)
+
+            @pl.when(jnp.logical_not(jnp.any(ent_b[b:b + 1, :])))
+            def _skip(sl=sl):
+                smask[0, sl] = jnp.zeros((128,), F32)
+                stmin[0, sl] = jnp.full((128,), jnp.inf, F32)
+
+        mask_ref[row, :] = smask[0, :]
+        tmin_ref[row, :] = stmin[0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("ray_chunk", "interpret"))
@@ -250,6 +289,14 @@ def cull_mask_exact_pallas(ot, dt, valid, blo, bhi, ray_chunk: int,
     lo = lo.at[NP:, 0:3].set(jnp.inf)
     hi = hi.at[NP:, 0:3].set(-jnp.inf)
 
+    # bank AABBs: union box of each 128-page block (exact f32 min/max);
+    # rows >= NB are empty boxes
+    NB = NPpad // 128
+    lob = jnp.full((16, 128), jnp.inf, F32).at[:NB, 0:3].set(
+        lo[:, 0:3].reshape(NB, 128, 3).min(axis=1))
+    hib = jnp.full((16, 128), -jnp.inf, F32).at[:NB, 0:3].set(
+        hi[:, 0:3].reshape(NB, 128, 3).max(axis=1))
+
     if chunk_live is None:
         chunk_live = jnp.ones((NC,), jnp.int32)
     NC8 = -(-NC // 8) * 8
@@ -271,6 +318,10 @@ def cull_mask_exact_pallas(ot, dt, valid, blo, bhi, ray_chunk: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NPpad, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, NPpad), lambda i: (i // 8, 0),
@@ -278,17 +329,21 @@ def cull_mask_exact_pallas(ot, dt, valid, blo, bhi, ray_chunk: int,
             pl.BlockSpec((8, NPpad), lambda i: (i // 8, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((8, NPpad), F32),
+            pltpu.VMEM((8, NPpad), F32),
+        ],
     )
 
     mask_f, tmin = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, nb=NB),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((NC8, NPpad), F32),
             jax.ShapeDtypeStruct((NC8, NPpad), F32),
         ],
         interpret=interpret,
-    )(flags, ot.astype(F32), dt.astype(F32), vrow, lo, hi)
+    )(flags, ot.astype(F32), dt.astype(F32), vrow, lo, hi, lob, hib)
 
     mask = mask_f[:NC, :NP] != 0.0
     return mask, jnp.where(mask, tmin[:NC, :NP], jnp.inf)

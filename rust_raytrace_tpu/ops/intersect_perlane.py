@@ -151,7 +151,7 @@ def _slab(ab_ref, o3, d3):
 
 
 def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
-                 RB, any_hit, sort_lanes, nb: int = 1):
+                 RB, any_hit, sort_lanes, nb: int = 1, sb=None):
     """Winner rows for one chunk written into `dst` (a [16, RB] ref).
 
     With sort_lanes, rows land in COUNT-SORTED lane order and the per-lane
@@ -165,7 +165,7 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
             sl = slice(g * GROUP, (g + 1) * GROUP)
             _group(plt, plts, sub_p, o_v[:, sl], d_v[:, sl], a_v[:, sl],
                    excl_v[:, sl] if excl_v is not None else None,
-                   ab, dst, sl, P, any_hit, nb)
+                   ab, dst, sl, P, any_hit, nb, sb)
         return None
 
     # --- in-chunk count sort ---
@@ -179,11 +179,13 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     #    measured 2.97x teapot per-ray before, scripts/probe_r3c).
     cnts = []
     pbs = []
+    crows = []      # per-group [nb, 128] fine per-bank counts (nb > 1)
     for g in range(RB // GROUP):
         sl = slice(g * GROUP, (g + 1) * GROUP)
         tot = None
         empty_so_far = None
         pb = None
+        cbank = []
         for b in range(nb):
             ab_b = ab[b * GROUP:(b + 1) * GROUP]
             tlo, thi, page_ok = _slab(ab_b, o_v[:, sl], d_v[:, sl])
@@ -192,12 +194,15 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
                         axis=0, keepdims=True)
             tot = c if tot is None else tot + c
             if nb > 1:
+                cbank.append(c)
                 empty_b = (c == 0.0).astype(F32)
-                empty_so_far = empty_b if empty_so_far is None                     else empty_so_far * empty_b
+                empty_so_far = empty_b if empty_so_far is None \
+                    else empty_so_far * empty_b
                 pb = empty_so_far if pb is None else pb + empty_so_far
         cnts.append(tot)
         if nb > 1:
             pbs.append(pb)
+            crows.append(jnp.concatenate(cbank, axis=0))
     cnt = jnp.concatenate(cnts, axis=1)              # [1, RB]
     alive_row = a_v[0:1, :]
     cnt_eff = jnp.where(alive_row != 0.0, cnt, F32(1e9))  # gaps last
@@ -239,19 +244,32 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
          excl_v[0:1, :] if excl_v is not None else alive_row], axis=0)
     p8 = _permute(in8, M, compacting=True, mode="bytes")  # [8, RB]
 
-    # 5. trace the count-uniform groups into scratch
+    # 5. trace the count-uniform groups into scratch.  For nb > 1 the
+    # per-bank count matrix rides the SAME permutation (counts are small
+    # exact integers, so a direct bf16 one-hot matmul moves them exactly)
+    # and becomes the per-group bank GATE: a post-sort group only runs the
+    # banks some member lane has pages in — bank-homogeneous groups skip
+    # nearly every other bank's slab + while-loop.
+    bankcnt = None
+    if nb > 1:
+        C = jnp.concatenate(crows, axis=1)           # [nb, RB]
+        bankcnt = jax.lax.dot_general(
+            C.astype(BF16), M, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)              # [nb, RB] permuted
     dst[:] = jnp.zeros_like(dst)
     for g in range(RB // GROUP):
         sl = slice(g * GROUP, (g + 1) * GROUP)
         _group(plt, plts, sub_p, p8[0:3, sl], p8[3:6, sl], p8[6:7, sl],
                p8[7:8, sl] if excl_v is not None else None,
-               ab, dst, sl, P, any_hit, nb)
+               ab, dst, sl, P, any_hit, nb, sb,
+               bankcnt[:, sl] if bankcnt is not None else None)
     return dest
 
 
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
-            plts_ref, out_ref, sout, *, page_size: int, ray_chunk: int,
-            exclude_id: bool, any_hit: bool, sort_lanes: bool, nb: int):
+            plts_ref, out_ref, sout, sgate, *, page_size: int,
+            ray_chunk: int, exclude_id: bool, any_hit: bool,
+            sort_lanes: bool, nb: int):
     P = page_size
     RB = ray_chunk
     row = jax.lax.rem(pl.program_id(0), 8)
@@ -266,7 +284,7 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
         dest = _trace_chunk(plt, plts, sub_p, ab, o_ref[:], d_ref[:],
                             a_ref[:], excl_ref[:] if exclude_id else None,
                             sout if sort_lanes else out_ref, P, RB, any_hit,
-                            sort_lanes, nb)
+                            sort_lanes, nb, sgate)
         if sort_lanes:
             # inverse permutation puts winner rows back in lane order:
             # out[l] = sorted[dest[l]] — a tile-blocked gather (bits
@@ -275,7 +293,7 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
 
 
 def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
-                  plts_ref, out_ref, sout, sshd, *, page_size: int,
+                  plts_ref, out_ref, sout, sshd, sgate, *, page_size: int,
                   ray_chunk: int, fixed_rng: bool, weight_cutoff: float,
                   sort_lanes: bool, nb: int, has_lights: bool):
     """Fused trace + shade: one grid step traces a chunk's rays AND applies
@@ -311,7 +329,7 @@ def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
         dest = _trace_chunk(plt, plts, sub_p, ab, st[0:3], st[3:6],
                             st[7:8], None, sout, P, RB, False, sort_lanes,
-                            nb)
+                            nb, sgate)
         rows = _gather_lanes(sout[:], dest, RB) if sort_lanes else sout[:]
         rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
                                    fixed_rng)
@@ -369,14 +387,20 @@ def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
 
 
 def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
-           any_hit, nb: int = 1):
+           any_hit, nb: int = 1, sb=None, bankcnt=None):
     """Trace one 128-ray group against its per-lane page lists.
 
     nb > 1: pages live in nb banks of <= 128 (the dynamic-gather vreg cap);
-    the traversal runs the per-bank while-loop in bank order, carrying the
-    running (t, id) winner across banks — the cross-bank `tlo <= best_t`
-    cut prunes later banks' pages exactly like the in-bank front-to-back
-    cut (bit-exact: any triangle in a dropped page has t >= tlo > best_t).
+    the traversal visits banks in index order, carrying the running (t, id)
+    winner across — the cross-bank `tlo <= best_t` cut prunes later banks'
+    pages exactly like the in-bank front-to-back cut (bit-exact: any
+    triangle in a dropped page has t >= tlo > best_t).  With `bankcnt`
+    ([nb, 128] per-lane fine page counts, permuted alongside the lanes by
+    the in-chunk sort) and the `sb` scratch, each bank's slab + while-loop
+    runs ONLY if some lane of the group has pages there — post-sort groups
+    are bank-homogeneous, so this skips nearly every other bank.  (An
+    earlier bank-AABB-based gate fired for most banks — secondary entries
+    span banks — and measured a wash; the page-count gate is exact.)
     """
     valid = a1[0:1, :] != 0.0                            # [1, 128]
 
@@ -410,18 +434,14 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
                 ok = ok & (ids != excl[0:1, :])
             return t, ok, ids, md_n, (dv0, dv1, dv2)
 
-        init_t = jnp.where(valid, jnp.inf, -jnp.inf)
-        zero = jnp.zeros_like(init_t)
-        best_t, best_id, best_pg = init_t, zero, zero
-
-        for b in range(nb):
+        def bank_pass(b, best, gate_cut):
+            """Slab + while-loop for bank b from winner state `best`."""
+            best_t, best_id, best_pg = best
             ab_b = ab[b * GROUP:(b + 1) * GROUP]
             plt_b = plt[b * N_INT * P:(b + 1) * N_INT * P]
-
-            # 1. per-lane slab tests vs this bank's page AABBs
             tlo, thi, page_ok = _slab(ab_b, o3, d3)
             hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok
-            if b > 0:
+            if gate_cut:
                 # cross-bank front-to-back cut + any_hit early exit
                 hit = hit & (tlo <= best_t)
                 if any_hit:
@@ -484,12 +504,12 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
             _, _, best_t, best_id, best_pg = jax.lax.while_loop(
                 cond, body,
                 (jnp.max(hit_f0), hit_f0, best_t, best_id, best_pg))
+            return best_t, best_id, best_pg
 
-        # 3. winner extraction: one more gather of the winner page (per
-        # bank for nb > 1 — the gather source table is bank-local)
-        hitl = best_id != 0.0                            # [1, 128]
-        rows_acc = None
-        for b in range(nb):
+        def extract(b, best_t, best_id, best_pg):
+            """Winner-state payload rows from bank b's tables (masked to
+            lanes whose winner lives in bank b)."""
+            hitl = best_id != 0.0                        # [1, 128]
             if nb == 1:
                 in_b = hitl
                 local = best_pg
@@ -509,36 +529,74 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
             win = (ids == best_id) & in_b                # [P, 128] one-hot
             wf = win.astype(F32)
 
-            def ext(v, wf=wf):
+            def ext(v):
                 return jnp.sum(wf * v, axis=0, keepdims=True)
 
-            def featS(f, Gs=Gs):
+            def featS(f):
                 return Gs[f * P:(f + 1) * P, :]
 
             inv_et = 1.0 - featS(0)                      # 1 - edge_thickness
             edge = (dv0 > inv_et) | (dv1 > inv_et) | (dv2 > inv_et)
             back = md_n > 0.0
             enc = featS(1) + 4.0 * edge.astype(F32) + 8.0 * back.astype(F32)
+            return [ext(feat(Gw, 0)), ext(feat(Gw, 1)), ext(feat(Gw, 2)),
+                    ext(enc), ext(featS(2)), ext(featS(3)), ext(featS(4)),
+                    ext(featS(5)), ext(featS(6))]
 
-            rows_b = [ext(feat(Gw, 0)), ext(feat(Gw, 1)), ext(feat(Gw, 2)),
-                      ext(enc), ext(featS(2)), ext(featS(3)), ext(featS(4)),
-                      ext(featS(5)), ext(featS(6))]
-            if rows_acc is None:
-                rows_acc = rows_b
-            else:
-                rows_acc = [a + v for a, v in zip(rows_acc, rows_b)]
+        PAYLOAD = [ROW_NORM, ROW_NORM + 1, ROW_NORM + 2, ROW_ENC,
+                   ROW_COLOR, ROW_COLOR + 1, ROW_COLOR + 2, ROW_ALPHA,
+                   ROW_SCAT]
 
+        init_t = jnp.where(valid, jnp.inf, -jnp.inf)
+        zero = jnp.zeros_like(init_t)
+
+        if nb == 1 or bankcnt is None or sb is None:
+            # register-carried path (nb == 1 fast path; ungated bank loop
+            # for callers without a permuted count gate, e.g. the fused
+            # shadow pass)
+            best = (init_t, zero, zero)
+            for b in range(nb):
+                best = bank_pass(b, best, gate_cut=(b > 0))
+            best_t, best_id, best_pg = best
+            rows_acc = None
+            for b in range(nb):
+                rows_b = extract(b, best_t, best_id, best_pg)
+                rows_acc = rows_b if rows_acc is None else \
+                    [a + v for a, v in zip(rows_acc, rows_b)]
+            out_ref[ROW_T:ROW_T + 1, sl] = best_t
+            out_ref[ROW_ID:ROW_ID + 1, sl] = best_id
+            for r, v in zip(PAYLOAD, rows_acc):
+                out_ref[r:r + 1, sl] = v
+            return
+
+        # --- gated banked path: winner rides the sb scratch rows so each
+        # bank's pass can live inside a pl.when region ---
+        sb[0:1, sl] = init_t
+        sb[1:2, sl] = zero
+        sb[2:3, sl] = zero
+        gates = [jnp.any(bankcnt[b:b + 1, :] > 0.0) for b in range(nb)]
+        for b in range(nb):
+            @pl.when(gates[b])
+            def _bank(b=b):
+                best = (sb[0:1, sl], sb[1:2, sl], sb[2:3, sl])
+                bt, bi, bp = bank_pass(b, best, gate_cut=True)
+                sb[0:1, sl] = bt
+                sb[1:2, sl] = bi
+                sb[2:3, sl] = bp
+
+        best_t = sb[0:1, sl]
+        best_id = sb[1:2, sl]
+        best_pg = sb[2:3, sl]
         out_ref[ROW_T:ROW_T + 1, sl] = best_t
         out_ref[ROW_ID:ROW_ID + 1, sl] = best_id
-        out_ref[ROW_NORM:ROW_NORM + 1, sl] = rows_acc[0]
-        out_ref[ROW_NORM + 1:ROW_NORM + 2, sl] = rows_acc[1]
-        out_ref[ROW_NORM + 2:ROW_NORM + 3, sl] = rows_acc[2]
-        out_ref[ROW_ENC:ROW_ENC + 1, sl] = rows_acc[3]
-        out_ref[ROW_COLOR:ROW_COLOR + 1, sl] = rows_acc[4]
-        out_ref[ROW_COLOR + 1:ROW_COLOR + 2, sl] = rows_acc[5]
-        out_ref[ROW_COLOR + 2:ROW_COLOR + 3, sl] = rows_acc[6]
-        out_ref[ROW_ALPHA:ROW_ALPHA + 1, sl] = rows_acc[7]
-        out_ref[ROW_SCAT:ROW_SCAT + 1, sl] = rows_acc[8]
+        for r in PAYLOAD:
+            out_ref[r:r + 1, sl] = jnp.zeros_like(best_t)
+        for b in range(nb):
+            @pl.when(gates[b])
+            def _extract(b=b):
+                rows_b = extract(b, best_t, best_id, best_pg)
+                for r, v in zip(PAYLOAD, rows_b):
+                    out_ref[r:r + 1, sl] = out_ref[r:r + 1, sl] + v
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
@@ -614,6 +672,7 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((TRACE_ROWS, RB), F32),
+            pltpu.VMEM((8, RB), F32),
         ],
     )
 
@@ -686,6 +745,7 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
         scratch_shapes=[
             pltpu.VMEM((TRACE_ROWS, RB), F32),
             pltpu.VMEM((TRACE_ROWS, RB), F32),
+            pltpu.VMEM((8, RB), F32),
         ],
     )
 
