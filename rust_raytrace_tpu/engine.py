@@ -247,7 +247,10 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
             mask, tmin = cull_mask_tmin_octants(*b8, aabb_lo, aabb_hi)
         counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
         plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
-        ptmin = jnp.take_along_axis(tmin, plist, axis=1)
+        # sorted VALUES via a second sort, not a gather: take_along_axis at
+        # [NC, NP] is an XLA gather (~67 ms at NP=1784, probe_r3j/k);
+        # jnp.sort yields identical f32 values for ~3 ms
+        ptmin = jnp.sort(tmin, axis=1)
 
         if wave == 0 and pk0 is not None:
             # pinhole primaries: origin folded into page scalars (half the
@@ -299,7 +302,7 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
             smask, stmin = cull_mask_tmin_octants(*sb8, aabb_lo, aabb_hi)
             scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
             splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
-            sptmin = jnp.take_along_axis(stmin, splist, axis=1)
+            sptmin = jnp.sort(stmin, axis=1)
             # Any-other-occluder semantics (oracle.is_shadowed, the commented
             # design at raytrace.rs:1204-1224): the origin triangle is
             # excluded IN-KERNEL so a farther real occluder behind a backlit
@@ -380,7 +383,7 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                                               interpret=interpret)
         scounts = jnp.sum(smask, axis=1, dtype=jnp.int32)
         splist = jnp.argsort(stmin, axis=1, stable=True).astype(jnp.int32)
-        sptmin = jnp.take_along_axis(stmin, splist, axis=1)
+        sptmin = jnp.sort(stmin, axis=1)
         srows = trace_chunks_pallas(so_m, sd_m, st.PK, scounts, splist,
                                     sptmin, page_size, ray_chunk,
                                     interpret=interpret, nbuf=nbuf,
@@ -506,7 +509,9 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                                                 interpret=interpret)
             counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
             plist = jnp.argsort(tmin, axis=1, stable=True).astype(jnp.int32)
-            ptmin = jnp.take_along_axis(tmin, plist, axis=1)
+            # sorted VALUES via a second sort, not a gather (see wave-0
+            # comment above)
+            ptmin = jnp.sort(tmin, axis=1)
             zo = wave == 0 and pk0 is not None
             pk_use = pk0 if zo else st.PK
             if not has_lights and not (wave == 0 and want_primary):
