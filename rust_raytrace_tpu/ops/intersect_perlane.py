@@ -73,7 +73,8 @@ N_SHD = 7             # shade features: et kind color(3) alpha scat
 #: measured 2x slower end-to-end), the in-chunk sort has no padding cost, so
 #: finer classes are strictly better; the masks/ranks matmul grows only by
 #: rows.  Dead lanes sort last (count forced huge).
-SORT_THRESH = (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 8.0, 11.0, 15.0)
+SORT_THRESH = (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 12.0, 15.0,
+               19.0, 24.0)
 
 #: output rows (identical contract to ops.intersect_pallas)
 from .intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
