@@ -73,6 +73,14 @@ N_SHD = 7             # shade features: et kind color(3) alpha scat
 #: measured 2x slower end-to-end), the in-chunk sort has no padding cost, so
 #: finer classes are strictly better; the masks/ranks matmul grows only by
 #: rows.  Dead lanes sort last (count forced huge).
+#: pages tested per while-loop iteration (nearest-hit mode): amortizes
+#: the per-step selection/bookkeeping over more gathers; bit-exact for
+#: any value (the cross-page cut is applied between the in-step pages).
+#: Chip sweep (probe_r3s): 2 -> 112.4 ms teapot_2k vs 1 -> 114.4 (the
+#: round-2 "two pages modelled wash" underestimated the bookkeeping
+#: share).
+PAGES_PER_STEP = 2
+
 SORT_THRESH = (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 12.0, 15.0,
                19.0, 24.0)
 
@@ -449,36 +457,32 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
                     hit = hit & (best_id == 0.0)
             hit_f0 = hit.astype(F32)
 
-            def body(carry, tlo=tlo, plt_b=plt_b, b=b):
-                work, hit_f, best_t, best_id, best_pg = carry
-                del work
-                if any_hit:
-                    # occlusion: any order works — cheapest selection
-                    pidx = jnp.min(
-                        jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
-                        axis=0, keepdims=True)           # [1, 128]
-                    has = pidx < F32(GROUP)
-                else:
-                    # front-to-back: each lane's nearest-entry page first
-                    # (the reference's traversal order, raytrace.rs:941-947)
-                    # so the tlo > best_t cut below retires the rest early.
-                    # Greedy per-step min — an explicit bitonic presort
-                    # measured ~12% slower (docs/PERF.md finding #6).
-                    # Sentinel is +inf: a hit page's tlo is finite (but can
-                    # exceed any fixed BIG when an axis has d == 0).
-                    tkey = jnp.where(hit_f > 0.0, tlo, jnp.inf)
-                    kmin = jnp.min(tkey, axis=0, keepdims=True)
-                    has = kmin < jnp.inf
-                    pidx = jnp.where(
-                        has,
-                        jnp.min(jnp.where(tkey == kmin, page_f2,
-                                          F32(GROUP)),
-                                axis=0, keepdims=True),
-                        F32(GROUP))                      # [1, 128]
+            def select_nearest(hit_f, tkey_mask_page=None):
+                """Per-lane nearest-entry remaining page: (has, pidx, ktlo).
+                The reference's traversal order (raytrace.rs:941-947);
+                greedy per-step min — an explicit bitonic presort measured
+                ~12% slower (docs/PERF.md finding #6).  Sentinel is +inf:
+                a hit page's tlo is finite (but can exceed any fixed BIG
+                when an axis has d == 0)."""
+                tkey = jnp.where(hit_f > 0.0, tlo, jnp.inf)
+                if tkey_mask_page is not None:
+                    tkey = jnp.where(page_f2 == tkey_mask_page, jnp.inf,
+                                     tkey)
+                kmin = jnp.min(tkey, axis=0, keepdims=True)
+                has = kmin < jnp.inf
+                pidx = jnp.where(
+                    has,
+                    jnp.min(jnp.where(tkey == kmin, page_f2, F32(GROUP)),
+                            axis=0, keepdims=True),
+                    F32(GROUP))                          # [1, 128]
+                return has, pidx, kmin
+
+            def test_page(has, pidx, best_t, best_id, best_pg):
+                """Gather + predicate + lexicographic winner update for one
+                selected page per lane."""
                 page = jnp.where(has, pidx, 0.0)
                 idx = jnp.broadcast_to(page.astype(jnp.int32), plt_b.shape)
                 G = jnp.take_along_axis(plt_b, idx, axis=1)   # [17P, 128]
-
                 t, ok, ids, _, _ = predicate(G, has)
                 tt = jnp.where(ok, t, jnp.inf)
                 pmin = jnp.min(tt, axis=0, keepdims=True)
@@ -489,13 +493,48 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
                 best_t = jnp.where(upd, pmin, best_t)
                 best_id = jnp.where(upd, pid, best_id)
                 best_pg = jnp.where(upd, page + F32(b * GROUP), best_pg)
-                # retire the tested page; drop pages that can no longer win
-                # (slab entry beyond the current best — any triangle in such
-                # a page has t >= tlo > best_t, so dropping is bit-exact)
-                keep = (page_f2 != pidx) & (tlo <= best_t)
+                return best_t, best_id, best_pg
+
+            def body(carry, tlo=tlo, plt_b=plt_b, b=b):
+                work, hit_f, best_t, best_id, best_pg = carry
+                del work
                 if any_hit:
-                    # occlusion query: a lane with ANY hit is done
-                    keep = keep & (best_id == 0.0)
+                    # occlusion: any order works — cheapest selection
+                    pidx = jnp.min(
+                        jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
+                        axis=0, keepdims=True)           # [1, 128]
+                    has = pidx < F32(GROUP)
+                    best_t, best_id, best_pg = test_page(
+                        has, pidx, best_t, best_id, best_pg)
+                    keep = (page_f2 != pidx) & (tlo <= best_t) \
+                        & (best_id == 0.0)
+                    hit_f = hit_f * keep.astype(F32)
+                    return (jnp.max(hit_f), hit_f, best_t, best_id,
+                            best_pg)
+                # nearest-hit: PAGES_PER_STEP pages per iteration — the
+                # second page's cross-page cut (its entry beyond the
+                # post-first-page best) reproduces exactly what the
+                # one-page loop would do at its own step, so the winner
+                # is bit-identical for any PAGES_PER_STEP.
+                hasA, pidxA, _ = select_nearest(hit_f)
+                best_t, best_id, best_pg = test_page(
+                    hasA, pidxA, best_t, best_id, best_pg)
+                pidxB = None
+                if PAGES_PER_STEP == 2:
+                    hasB, pidxB, ktloB = select_nearest(hit_f, pidxA)
+                    hasB = hasB & (ktloB <= best_t)
+                    best_t, best_id, best_pg = test_page(
+                        hasB, pidxB, best_t, best_id, best_pg)
+                    # pidxB is GROUP for lanes with nothing left (the
+                    # clear below is a no-op there); a lane whose B was
+                    # cut by the gate clears it too — the one-page loop
+                    # would drop it at its own step by the same rule
+                # retire the tested page(s); drop pages that can no longer
+                # win (slab entry beyond the current best — any triangle
+                # in such a page has t >= tlo > best_t: bit-exact drop)
+                keep = (page_f2 != pidxA) & (tlo <= best_t)
+                if pidxB is not None:
+                    keep = keep & (page_f2 != pidxB)
                 hit_f = hit_f * keep.astype(F32)
                 return jnp.max(hit_f), hit_f, best_t, best_id, best_pg
 
