@@ -113,11 +113,20 @@ void rt_morton_order(const float* incenter, int64_t n, int64_t* out) {
   for (int64_t i = 0; i < n - 1; ++i) out[i] = keyed[i].second;
 }
 
-// KD page ordering (pages.py kd_order): recursive longest-axis median splits
-// of the centroids, every split aligned to a page multiple.  Exact behavioral
-// copy of the numpy version (stable sort along the chosen axis, first-max
-// axis tie rule, nl = (ceil(n/P)/2)*P), so the two paths emit identical
-// orders and the differential test can assert equality.
+// KD page ordering (pages.py kd_order): recursive page-aligned SAH splits of
+// the centroids — axis AND split position minimizing
+// SA(left)*n_left + SA(right)*n_right over all page-multiple positions.
+// Exact behavioral copy of the numpy version: same stable sorts, the same
+// left-associative f32 cost arithmetic (the build uses -ffp-contract=off),
+// strict-< first-wins tie rule over (axis asc, split asc) — so the two paths
+// emit identical orders and the differential test can assert equality.
+static float half_area3(const float* lo, const float* hi) {
+  float e0 = hi[0] - lo[0];
+  float e1 = hi[1] - lo[1];
+  float e2 = hi[2] - lo[2];
+  return e0 * e1 + e1 * e2 + e2 * e0;
+}
+
 static void kd_rec(const float* c, int64_t* ids, int64_t n, int64_t page,
                    int64_t** out_cursor) {
   if (n <= page) {
@@ -125,24 +134,51 @@ static void kd_rec(const float* c, int64_t* ids, int64_t n, int64_t page,
     *out_cursor += n;
     return;
   }
-  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
-  for (int64_t i = 0; i < n; ++i)
-    for (int k = 0; k < 3; ++k) {
-      float v = c[ids[i] * 3 + k];
-      lo[k] = std::min(lo[k], v);
-      hi[k] = std::max(hi[k], v);
-    }
-  int axis = 0;
-  float best = hi[0] - lo[0];
-  for (int k = 1; k < 3; ++k)
-    if (hi[k] - lo[k] > best) { best = hi[k] - lo[k]; axis = k; }
   int64_t kpages = (n + page - 1) / page;
-  int64_t nl = (kpages / 2) * page;
-  std::stable_sort(ids, ids + n, [c, axis](int64_t a, int64_t b) {
-    return c[a * 3 + axis] < c[b * 3 + axis];
-  });
-  kd_rec(c, ids, nl, page, out_cursor);
-  kd_rec(c, ids + nl, n - nl, page, out_cursor);
+  float best_cost = 0.0f;
+  bool have_best = false;
+  int64_t best_nl = 0;
+  std::vector<int64_t> best_order;
+  std::vector<int64_t> o(n);
+  std::vector<float> pmin(3 * n), pmax(3 * n), smin(3 * n), smax(3 * n);
+  for (int ax = 0; ax < 3; ++ax) {
+    std::copy(ids, ids + n, o.begin());
+    std::stable_sort(o.begin(), o.end(), [c, ax](int64_t a, int64_t b) {
+      return c[a * 3 + ax] < c[b * 3 + ax];
+    });
+    for (int k = 0; k < 3; ++k) {
+      pmin[k] = pmax[k] = c[o[0] * 3 + k];
+      smin[(n - 1) * 3 + k] = smax[(n - 1) * 3 + k] = c[o[n - 1] * 3 + k];
+    }
+    for (int64_t i = 1; i < n; ++i)
+      for (int k = 0; k < 3; ++k) {
+        float v = c[o[i] * 3 + k];
+        pmin[i * 3 + k] = std::min(pmin[(i - 1) * 3 + k], v);
+        pmax[i * 3 + k] = std::max(pmax[(i - 1) * 3 + k], v);
+      }
+    for (int64_t i = n - 2; i >= 0; --i)
+      for (int k = 0; k < 3; ++k) {
+        float v = c[o[i] * 3 + k];
+        smin[i * 3 + k] = std::min(smin[(i + 1) * 3 + k], v);
+        smax[i * 3 + k] = std::max(smax[(i + 1) * 3 + k], v);
+      }
+    for (int64_t kl = 1; kl < kpages; ++kl) {
+      int64_t nl = kl * page;
+      if (nl >= n) break;
+      float sal = half_area3(&pmin[(nl - 1) * 3], &pmax[(nl - 1) * 3]);
+      float sar = half_area3(&smin[nl * 3], &smax[nl * 3]);
+      float cost = sal * (float)nl + sar * (float)(n - nl);
+      if (!have_best || cost < best_cost) {
+        have_best = true;
+        best_cost = cost;
+        best_nl = nl;
+        best_order = o;
+      }
+    }
+  }
+  std::copy(best_order.begin(), best_order.end(), ids);
+  kd_rec(c, ids, best_nl, page, out_cursor);
+  kd_rec(c, ids + best_nl, n - best_nl, page, out_cursor);
 }
 
 void rt_kd_order(const float* incenter, int64_t n, int64_t page_size,

@@ -457,17 +457,17 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
                     hit = hit & (best_id == 0.0)
             hit_f0 = hit.astype(F32)
 
-            def select_nearest(hit_f, tkey_mask_page=None):
+            def select_nearest(hit_f, tkey_mask_pages=()):
                 """Per-lane nearest-entry remaining page: (has, pidx, ktlo).
                 The reference's traversal order (raytrace.rs:941-947);
                 greedy per-step min — an explicit bitonic presort measured
                 ~12% slower (docs/PERF.md finding #6).  Sentinel is +inf:
                 a hit page's tlo is finite (but can exceed any fixed BIG
-                when an axis has d == 0)."""
+                when an axis has d == 0).  tkey_mask_pages: per-lane page
+                ids already picked this step, excluded from the min."""
                 tkey = jnp.where(hit_f > 0.0, tlo, jnp.inf)
-                if tkey_mask_page is not None:
-                    tkey = jnp.where(page_f2 == tkey_mask_page, jnp.inf,
-                                     tkey)
+                for mp in tkey_mask_pages:
+                    tkey = jnp.where(page_f2 == mp, jnp.inf, tkey)
                 kmin = jnp.min(tkey, axis=0, keepdims=True)
                 has = kmin < jnp.inf
                 pidx = jnp.where(
@@ -519,9 +519,12 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
                 hasA, pidxA, _ = select_nearest(hit_f)
                 best_t, best_id, best_pg = test_page(
                     hasA, pidxA, best_t, best_id, best_pg)
-                pidxB = None
-                if PAGES_PER_STEP == 2:
-                    hasB, pidxB, ktloB = select_nearest(hit_f, pidxA)
+                extra = [pidxA]
+                for _ in range(PAGES_PER_STEP - 1):
+                    # each later page's select masks all earlier in-step
+                    # picks; its entry-beyond-best gate reproduces exactly
+                    # what the one-page loop would do at its own step
+                    hasB, pidxB, ktloB = select_nearest(hit_f, extra)
                     hasB = hasB & (ktloB <= best_t)
                     best_t, best_id, best_pg = test_page(
                         hasB, pidxB, best_t, best_id, best_pg)
@@ -529,12 +532,13 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
                     # clear below is a no-op there); a lane whose B was
                     # cut by the gate clears it too — the one-page loop
                     # would drop it at its own step by the same rule
+                    extra.append(pidxB)
                 # retire the tested page(s); drop pages that can no longer
                 # win (slab entry beyond the current best — any triangle
                 # in such a page has t >= tlo > best_t: bit-exact drop)
-                keep = (page_f2 != pidxA) & (tlo <= best_t)
-                if pidxB is not None:
-                    keep = keep & (page_f2 != pidxB)
+                keep = tlo <= best_t
+                for p in extra:
+                    keep = keep & (page_f2 != p)
                 hit_f = hit_f * keep.astype(F32)
                 return jnp.max(hit_f), hit_f, best_t, best_id, best_pg
 

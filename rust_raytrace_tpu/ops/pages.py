@@ -202,17 +202,28 @@ def build_pages_morton(tris: TriangleArrays, page_size: int = 256) -> PageTables
 
 
 def kd_order(tris: TriangleArrays, page_size: int) -> np.ndarray:
-    """Triangle indices 1..N-1 ordered by recursive longest-axis median
-    splits of the centroids, with every split aligned to a page multiple.
+    """Triangle indices 1..N-1 ordered by recursive page-aligned SAH splits
+    of the centroids (axis AND split position minimizing
+    SA(left)*n_left + SA(right)*n_right over all page-multiple positions).
 
     Morton cells overlap heavily once carved into fixed-size pages (a z-curve
-    run can straddle cell boundaries); median splits adapt to the actual
+    run can straddle cell boundaries); adaptive splits track the actual
     triangle distribution, so page AABBs overlap far less and every consumer
     of the page bounds sharpens — the packet cull's page lists, the per-lane
     kernel's slab-selected step counts, and the shade kernel's provable-miss
-    test.  This is the flat-page analog of the reference's octree subdivision
-    (build_bounding_box, raytrace.rs:790-845) without its triangle
-    duplication.  Sentinel slot 0 stays excluded (raytrace.rs:791).
+    test.  SAH (surface-area heuristic, the standard BVH build cost model)
+    replaced the round-2 longest-axis median rule after an offline probe on
+    sampled bounce rays (scripts/probe_r4a.py) measured mean slab-hit
+    pages/ray 6.06 -> 2.77 on multi and 2.24 -> 2.14 on teapot at identical
+    page counts; the winner (t, id) is partition-independent, so the swap is
+    bit-exact.  This is the flat-page analog of the reference's octree
+    subdivision (build_bounding_box, raytrace.rs:790-845) without its
+    triangle duplication.  Sentinel slot 0 stays excluded (raytrace.rs:791).
+
+    The native C++ path (rt_kd_order) is an exact behavioral copy — same
+    stable sorts, same f32 cost arithmetic (left-associative, contraction
+    off), same strict-< first-wins tie rule — so the differential test can
+    assert order equality.
     """
     from ..utils import native
     if len(tris) >= 1024 and native.available():
@@ -230,10 +241,27 @@ def kd_order(tris: TriangleArrays, page_size: int) -> np.ndarray:
             out.append(ids)
             return
         cc = c[ids]
-        axis = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
         k = -(-n // page_size)
-        nl = (k // 2) * page_size
-        order = np.argsort(cc[:, axis], kind="stable")
+        best = None          # (cost, order, nl); strict < keeps the first
+        for ax in range(3):
+            order = np.argsort(cc[:, ax], kind="stable")
+            s = cc[order]
+            pmin = np.minimum.accumulate(s, axis=0)
+            pmax = np.maximum.accumulate(s, axis=0)
+            smin = np.minimum.accumulate(s[::-1], axis=0)[::-1]
+            smax = np.maximum.accumulate(s[::-1], axis=0)[::-1]
+            for kl in range(1, k):
+                nl = kl * page_size
+                if nl >= n:
+                    break
+                el = pmax[nl - 1] - pmin[nl - 1]
+                sal = el[0] * el[1] + el[1] * el[2] + el[2] * el[0]
+                er = smax[nl] - smin[nl]
+                sar = er[0] * er[1] + er[1] * er[2] + er[2] * er[0]
+                cost = sal * F32(nl) + sar * F32(n - nl)
+                if best is None or cost < best[0]:
+                    best = (cost, order, nl)
+        _, order, nl = best
         rec(ids[order[:nl]])
         rec(ids[order[nl:]])
 

@@ -47,31 +47,15 @@ def test_morton_order_matches_numpy(scene):
 
 @pytest.mark.parametrize("page_size", [16, 56])
 def test_kd_order_matches_numpy(scene, page_size):
-    """The C++ KD ordering is an exact behavioral copy (stable sorts,
-    first-max axis rule, page-aligned splits) of pages.kd_order."""
+    """The C++ KD ordering is an exact behavioral copy of the numpy
+    pages.kd_order fallback (same stable sorts, same f32 SAH cost
+    arithmetic, same strict-< first-wins tie rule over (axis, split))."""
     nat = native.kd_order_native(scene.tris.incenter, page_size)
     assert nat is not None
-    # numpy path: force the pure fallback branch
     from rust_raytrace_tpu.ops import pages as P
 
-    c = scene.tris.incenter
-    out = []
-
-    def rec(ids):
-        n = len(ids)
-        if n <= page_size:
-            out.append(ids)
-            return
-        cc = c[ids]
-        axis = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
-        k = -(-n // page_size)
-        nl = (k // 2) * page_size
-        order = np.argsort(cc[:, axis], kind="stable")
-        rec(ids[order[:nl]])
-        rec(ids[order[nl:]])
-
-    rec(np.arange(1, len(scene.tris), dtype=np.int64))
-    ref = np.concatenate(out)
+    # the scene is < 1024 tris, so kd_order always takes the numpy branch
+    ref = P.kd_order(scene.tris, page_size)
     np.testing.assert_array_equal(nat, ref)
 
 

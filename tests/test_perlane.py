@@ -116,6 +116,36 @@ def test_sort_lanes_bit_exact(scene, scattered_rays):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_pages_per_step_bit_exact(scene, scattered_rays):
+    """PAGES_PER_STEP only batches gathers inside one while iteration; the
+    cross-page cut between in-step pages reproduces the one-page loop's
+    winner exactly, so every setting must match BITWISE."""
+    import jax.numpy as jnp
+
+    from rust_raytrace_tpu.ops import intersect_perlane as ipl
+
+    o, d, alive = scattered_rays
+    pages = build_pages_morton(scene.tris, page_size=16)
+    plt_i, plt_s, ab = ipl.build_perlane_tables(pages)
+    orig = ipl.PAGES_PER_STEP
+    outs = []
+    try:
+        for pps in (1, 2, 3, 4):
+            ipl.PAGES_PER_STEP = pps
+            # the jit cache keys on static args only, not the module
+            # constant — clear it so each setting re-traces
+            ipl.trace_perlane_pallas.clear_cache()
+            outs.append(np.asarray(ipl.trace_perlane_pallas(
+                jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(alive),
+                jnp.asarray(plt_i), jnp.asarray(plt_s), jnp.asarray(ab),
+                page_size=16, ray_chunk=RB, interpret=True)))
+    finally:
+        ipl.PAGES_PER_STEP = orig
+        ipl.trace_perlane_pallas.clear_cache()
+    for got in outs[1:]:
+        np.testing.assert_array_equal(outs[0], got)
+
+
 def test_banked_multibank_matches_model():
     """NP > 128 forces the banked (two-level) traversal: a dense sphere
     shell at page_size=8 spans 3 banks of 128 pages.  The kernel must match
