@@ -409,12 +409,12 @@ def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((STATE_ROWS, cb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # zeros -> aliased out
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dead  -> aliased out
+            pl.BlockSpec(memory_space=pl.ANY),   # zeros -> aliased out
+            pl.BlockSpec(memory_space=pl.ANY),   # dead  -> aliased out
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((STATE_ROWS, CBT, ALIGN), F32),
@@ -530,8 +530,8 @@ def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
             pl.BlockSpec((8, META_COLS), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((2, cb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # y stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dead stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # y stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # dead stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((rows, cb), lambda i: (0, i),
@@ -790,12 +790,12 @@ def compact_pallas_buckets(state, dead_arr, meta, cb: int = DEFAULT_CB,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((STATE_ROWS, cb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((NB, STATE_ROWS, CBT, ALIGN), F32),
@@ -903,8 +903,8 @@ def expand_pallas_buckets(y, dead_arr, code, meta, cb: int = DEFAULT_CB,
             pl.BlockSpec((8, META9_COLS), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((8, cb), lambda i: (0, i), memory_space=pltpu.VMEM),

@@ -416,7 +416,7 @@ def trace_chunks_pallas(OT, DT, PK, counts, plist, ptmin,
         in_specs.append(pl.BlockSpec((1, RB), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         args.append(excl.astype(F32))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # PK stays in HBM
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # PK stays in HBM
     args.append(PK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -490,7 +490,7 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # PK stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # PK stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
