@@ -17,7 +17,7 @@ import numpy as np
 
 
 def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
-                  compiler_options=None):
+                  compiler_options=None, cb=None):
     """Returns (mrays_per_sec, seconds_per_render, rays_per_render) for the
     compacted production engine on the real chip.
 
@@ -66,7 +66,8 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                             if lights is not None else None),
                 weight_cutoff=eng.weight_cutoff, pk0=pk0, nbuf=eng.nbuf,
                 plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
-                ncompact=eng.ncompact)[:2]
+                ncompact=eng.ncompact,
+                **({} if cb is None else {"cb": cb}))[:2]
             return (img[0, 0].astype(F32),
                     rays + jnp.sum(wc, dtype=jnp.int32))
         return jax.lax.fori_loop(0, ND, body, (F32(0.0), jnp.int32(0)))
