@@ -612,6 +612,38 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
 
 
 
+def auto_page_size(n_tris: int, page_size: int = 56) -> int:
+    """Scene-adaptive page size for the banked per-lane traversal.
+
+    Per-lane bounce traversal gathers pages along lanes within BANKS of one
+    vreg = 128 pages (ops/intersect_perlane: banked two-level traversal, up
+    to MAX_BANKS banks — the scale-free range).  Two regimes grow the page
+    beyond the 1-bank optimum of 56 (multiples of 8: sublane alignment):
+
+    - many-bank scenes: per-bank fixed costs (count slabs, bank-loop
+      entries, wave-0 cull width) make >8 banks lose to fewer, larger
+      pages.  Chip sweep on a 99.9k-tri sphere (probe_r4g/h): P=56
+      (14 banks) 399 ms, P=96 (9) 358, P=112 (7) 334.9, P=128 (7) 359,
+      P=144 (6) 351, P=224 (4) 366 — target ~7 banks, i.e. the smallest
+      multiple of 8 that fits the scene in 7 banks.  Few-bank scenes must
+      NOT grow: multi (19.9k tris, 3 banks) measured 250.6 ms at P=56 vs
+      255.5 at P=80 and 284.8 at P=112 (probe_r4g).
+    - beyond MAX_BANKS*128 pages (~115k tris at P=56): growth is forced
+      to keep the page table addressable at all.
+    """
+    from .ops.intersect_perlane import GROUP, MAX_BANKS
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    if cdiv(cdiv(n_tris, page_size), GROUP) > 8:
+        target = min(7, MAX_BANKS)
+        page_size = cdiv(cdiv(n_tris, target * GROUP), 8) * 8
+    while cdiv(n_tris, page_size) > MAX_BANKS * GROUP:
+        page_size += 8
+    return page_size
+
+
 class Engine(RayCaster):
     """Culled wavefront renderer (the performance path).
 
@@ -635,26 +667,21 @@ class Engine(RayCaster):
             # weight by wave 2 — compact ONLY after wave 0 (chip sweep
             # ncompact -1/3/2/1 -> 133/128/122/118.5 ms, probe_r3a/b).
             # Higher-alpha scenes keep rays alive longer and want one more
-            # boundary: multi measured 46.3/47.2/47.9 ns/ray at nc 2/-1/1;
-            # circles 33.0/33.2/36.8 at -1/2/1 (probe_r3d/h).  The
-            # tri-count-weighted mean scatter alpha is a cheap static
-            # predictor of survival: > 0.25 -> 2, else 1.
+            # boundary: multi (alpha 0.341) measured 250.6 ms at nc=2 vs
+            # 267.1 at nc=1 under SAH pages (probe_r4h).  circles
+            # (alpha 0.296) flipped when SAH shortened its bounce chains:
+            # nc=1 55.7 Mrays/s vs nc=2 54.3, nc=-1 48.7 (probe_r4f/g) —
+            # so the tri-count-weighted mean scatter alpha threshold sits
+            # between the two measured optima: > 0.32 -> 2, else 1.
             tris = scene.tris
             kinds = tris.materials.kind[1:]
             alphas = np.where(kinds == 0, 0.0, tris.materials.alpha[1:])
             mean_alpha = float(alphas.mean()) if len(alphas) else 0.0
-            ncompact = 2 if mean_alpha > 0.25 else 1
+            ncompact = 2 if mean_alpha > 0.32 else 1
         self.ncompact = ncompact
         if auto_pages:
-            # Per-lane bounce traversal gathers pages along lanes within
-            # BANKS of one vreg = 128 pages (ops/intersect_perlane: banked
-            # two-level traversal, up to MAX_BANKS banks — the scale-free
-            # range).  Only beyond MAX_BANKS*128 pages (~115k tris at P=56)
-            # does the page size grow.
-            from .ops.intersect_perlane import GROUP, MAX_BANKS
-            n = max(len(scene.tris) - 1, 1)
-            while -(-n // page_size) > MAX_BANKS * GROUP:
-                page_size += 8
+            page_size = auto_page_size(max(len(scene.tris) - 1, 1),
+                                       page_size)
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
         self.bounce_chunk = bounce_chunk

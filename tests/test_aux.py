@@ -126,14 +126,15 @@ def test_depth_indented_trace_logging(caplog):
 
 
 def test_engine_auto_ncompact_heuristic():
-    """Scene-adaptive compaction depth: low-alpha scenes (teapot) compact
-    only after wave 0; higher-alpha reflective scenes (circles, multi) get
-    a second boundary (chip-measured optima, docs/PERF.md)."""
+    """Scene-adaptive compaction depth: scenes up to circles' alpha 0.296
+    compact only after wave 0 (under SAH pages circles measured nc=1 best,
+    probe_r4g); multi (alpha 0.341) keeps a second boundary (probe_r4h:
+    250.6 ms at nc=2 vs 267.1 at nc=1) — docs/PERF.md."""
     from rust_raytrace_tpu.engine import Engine
     from rust_raytrace_tpu.models import circles, multi, teapot
 
     s, _ = circles.build(resolution=(16, 16))
-    assert Engine(s, interpret=True).ncompact == 2
+    assert Engine(s, interpret=True).ncompact == 1
     s, _ = multi.build(resolution=(16, 16))
     assert Engine(s, interpret=True).ncompact == 2
     try:
@@ -143,3 +144,22 @@ def test_engine_auto_ncompact_heuristic():
     assert Engine(s, interpret=True).ncompact == 1
     # explicit override still wins
     assert Engine(s, interpret=True, ncompact=-1).ncompact == -1
+
+
+def test_auto_page_size():
+    """Scene-adaptive page size: P=56 up to 8 banks; many-bank scenes grow
+    the page to fit ~7 banks (chip sweep on a 99.9k-tri sphere: P=112/7
+    banks beat P=56/14 banks 334.9 vs 399 ms — probe_r4g/h); beyond
+    MAX_BANKS*128 pages growth is forced for addressability."""
+    from rust_raytrace_tpu.engine import auto_page_size
+    from rust_raytrace_tpu.ops.intersect_perlane import GROUP, MAX_BANKS
+
+    assert auto_page_size(6720) == 56          # teapot: 1 bank
+    assert auto_page_size(19912) == 56         # multi: 3 banks — unchanged
+    assert auto_page_size(99905) == 112        # measured optimum exactly
+    for n in (2069, 6720, 19912, 59905, 99905, 131000, 500000):
+        p = auto_page_size(n)
+        assert p % 8 == 0
+        assert -(-n // p) <= MAX_BANKS * GROUP
+        if -(-(-(-n // 56)) // GROUP) > 8:     # large-scene branch
+            assert -(-(-(-n // p)) // GROUP) <= 7
