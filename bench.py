@@ -156,22 +156,45 @@ def main():
         from rust_raytrace_tpu.models import teapot as teapot_m
         from rust_raytrace_tpu.utils.devbench import device_metric
 
+        def synthetic_100k():
+            # scale evidence: 99.9k-tri lat/lon sphere (15x the teapot) —
+            # exercises the banked per-lane traversal at its auto page
+            # size; the scoped-vmem option admits the ~10 MB resident
+            # tables (devbench docstring).
+            from rust_raytrace_tpu import math3d as m3
+            from rust_raytrace_tpu.camera import create_viewport
+            from rust_raytrace_tpu.geometry import make_sphere
+            from rust_raytrace_tpu.materials import matte
+            from rust_raytrace_tpu.scene import assemble
+
+            s = make_sphere((0.0, 0.0, 10.0), 4.0, (224, 224),
+                            matte(m3.make_color((252, 119, 0)), 0.2), 0.0)
+            vpc = create_viewport((2560, 1440), (1.6, 0.9), (0.0, 0.0, 0.0),
+                                  m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0,
+                                  5, 1)
+            return assemble([s]), vpc
+
+        VMEM_OPT = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
         cfgs = [
-            ("circles_2k", lambda: circles.build(resolution="2k"), 1),
+            ("circles_2k", lambda: circles.build(resolution="2k"), 1, None),
             ("teapot_512_spp4",
-             lambda: teapot_m.build(resolution=(512, 512), samples=4), 4),
+             lambda: teapot_m.build(resolution=(512, 512), samples=4), 4,
+             None),
             ("teapot_2k_shadows",
-             lambda: teapot_m.build(resolution="2k", with_light=True), 1),
-            ("teapot_4k", lambda: teapot_m.build(resolution="4k"), 1),
-            ("multi_2k", lambda: multi.build(resolution="2k"), 1),
+             lambda: teapot_m.build(resolution="2k", with_light=True), 1,
+             None),
+            ("teapot_4k", lambda: teapot_m.build(resolution="4k"), 1, None),
+            ("multi_2k", lambda: multi.build(resolution="2k"), 1, None),
+            ("synthetic_100k_2k", synthetic_100k, 1, VMEM_OPT),
         ]
         cfg_out = {}
-        for cname, build, spp in cfgs:
+        for cname, build, spp, copts in cfgs:
             try:
                 sc, vpc = build()
                 ec = Engine(sc)
                 mr, cdt, crays = device_metric(ec, vpc, ND=4, nruns=2,
-                                               spp=spp)
+                                               spp=spp,
+                                               compiler_options=copts)
                 cfg_out[cname] = {
                     "device_mrays_per_sec": round(mr, 3),
                     "device_seconds": round(cdt, 4),

@@ -1,0 +1,160 @@
+"""Randomized-scene differential contract (seeded, deterministic).
+
+The reference validates its CUDA path by differencing whole renders against
+the CPU implementation (debug.rs:150-222) — but only on its three hand-built
+scenes.  This file generalizes that methodology to RANDOM geometry: seeded
+random scenes (triangle soup + lat/lon spheres + thick disks, mixed
+solid/matte/reflective materials, random camera pose) rendered by all three
+implementations, asserting the same contract test_bitexact.py pins on the
+curated scenes:
+
+  - production Engine (culled + compacted + per-lane bounces, interpret
+    mode) == WavefrontRenderer("xla") to the BIT, and
+  - both within 1 ULP (2^-23) of the recursive numpy oracle (same color
+    polynomial, different association order).
+
+Random scenes reach structure the curated scenes cannot: degenerate-thin
+triangles, overlapping unaligned AABBs, SAH splits over irregular centroid
+distributions, and (scene 3) a page count past 128 that forces the BANKED
+per-lane traversal with a random multi-bank layout.
+"""
+
+import numpy as np
+import pytest
+
+from rust_raytrace_tpu import math3d as m3
+from rust_raytrace_tpu import oracle
+from rust_raytrace_tpu.camera import create_viewport
+from rust_raytrace_tpu.engine import Engine
+from rust_raytrace_tpu.geometry import make_disk, make_sphere, make_triangles
+from rust_raytrace_tpu.materials import matte, reflective, solid
+from rust_raytrace_tpu.render import WavefrontRenderer
+from rust_raytrace_tpu.scene import assemble
+
+ULP = 1.1920929e-07  # 2**-23
+F32 = np.float32
+
+
+def _rand_surface(rng):
+    color = m3.make_color(tuple(int(c) for c in rng.integers(10, 255, 3)))
+    kind = rng.integers(0, 3)
+    if kind == 0:
+        return solid(color)
+    if kind == 1:
+        return matte(color, float(rng.uniform(0.05, 0.6)))
+    return reflective(color, float(rng.uniform(0.1, 0.7)),
+                      float(rng.uniform(0.0, 0.25)))
+
+
+def _soup(rng, n, center, spread):
+    """n random free triangles around `center`."""
+    c = np.asarray(center, dtype=F32)
+    pts = rng.uniform(-spread, spread, (n, 3, 3)).astype(F32)
+    anchors = rng.uniform(-2.5, 2.5, (n, 1, 3)).astype(F32)
+    pts = pts * F32(0.35) + anchors + c
+    return make_triangles(pts, _rand_surface(rng),
+                          float(rng.uniform(0.0, 0.1)))
+
+
+def _rand_scene(rng, n_soup=3, spheres=(), disks=()):
+    parts = [_soup(rng, int(rng.integers(4, 14)), (0.0, 0.0, 8.0), 1.0)
+             for _ in range(n_soup)]
+    for latlon in spheres:
+        orig = rng.uniform(-2, 2, 3).astype(F32) + np.asarray(
+            [0, 0, 8], dtype=F32)
+        parts.append(make_sphere(tuple(orig), float(rng.uniform(0.8, 2.0)),
+                                 latlon, _rand_surface(rng),
+                                 float(rng.uniform(0.0, 0.08))))
+    for num_tris in disks:
+        orig = rng.uniform(-2, 2, 3).astype(F32) + np.asarray(
+            [0, 0, 8], dtype=F32)
+        norm = m3.unit(rng.uniform(-1, 1, 3).astype(F32))
+        parts.append(make_disk(tuple(orig), norm, float(rng.uniform(0.7, 1.5)),
+                               float(rng.uniform(0.05, 0.3)), num_tris,
+                               _rand_surface(rng), _rand_surface(rng),
+                               float(rng.uniform(0.0, 0.08))))
+    return assemble(parts)
+
+
+def _rand_viewport(rng, px, maxdepth):
+    # jittered pose looking roughly at the +z cluster the scenes sit in
+    pos = rng.uniform(-0.4, 0.4, 3).astype(F32)
+    aim = m3.unit(np.asarray(
+        [rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25), 1.0],
+        dtype=F32))
+    return create_viewport(px, (1.5, 1.5 * px[1] / px[0]), pos, aim,
+                           float(rng.uniform(60.0, 100.0)),
+                           float(rng.uniform(-0.3, 0.3)), maxdepth, 1)
+
+
+def _assert_contract(scene, vp, page_size, ray_chunk, min_banks=1):
+    img_o = oracle.render(scene.tris, vp, rng=oracle.FixedRng())
+
+    wr = WavefrontRenderer(scene, backend="xla", page_size=page_size,
+                           ray_chunk=ray_chunk)
+    img_x = wr.render(vp, fixed_rng=True).image
+
+    eng = Engine(scene, page_size=page_size, ray_chunk=ray_chunk,
+                 interpret=True, auto_pages=False)
+    assert eng.compact
+    assert (eng.pages.num_pages + 127) // 128 >= min_banks
+    img_e = eng.render(vp, fixed_rng=True, quantize=False).image
+
+    np.testing.assert_array_equal(img_e, img_x)
+    assert np.abs(img_e - img_o).max() <= ULP
+    assert np.abs(img_x - img_o).max() <= ULP
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_soup_scene(seed):
+    rng = np.random.default_rng(seed)
+    scene = _rand_scene(rng, n_soup=4)
+    vp = _rand_viewport(rng, (32, 24), maxdepth=4)
+    _assert_contract(scene, vp, page_size=16, ray_chunk=128)
+
+
+def test_random_mixed_scene():
+    rng = np.random.default_rng(47)
+    scene = _rand_scene(rng, n_soup=2, spheres=[(6, 8)], disks=[5])
+    vp = _rand_viewport(rng, (32, 24), maxdepth=4)
+    _assert_contract(scene, vp, page_size=24, ray_chunk=128)
+
+
+def test_random_lights_scene():
+    """Lights fuzz: random scene + random jittered light.  The compacted
+    engine (fused per-lane shadow feeler) must match the unfused
+    compact=False chain BITWISE (the test_lights_fused_equals_unfused
+    contract on random geometry), and the oracle up to flipped
+    shadow-boundary pixels (occlusion is a binary decision: f32 rounding
+    may flip tangent pixels — same criterion as test_shadows.py)."""
+    from rust_raytrace_tpu.scene import LightSource
+
+    rng = np.random.default_rng(59)
+    scene = _rand_scene(rng, n_soup=3, disks=[4])
+    scene.lights = LightSource(
+        orig=rng.uniform(-4, 4, 3).astype(F32) * np.asarray(
+            [1, 1, 0], dtype=F32) + np.asarray([0, 16, 8], dtype=F32),
+        len2=float(rng.uniform(0.0, 0.6)))
+    vp = _rand_viewport(rng, (32, 24), maxdepth=3)
+
+    img_o = oracle.render(scene.tris, vp, rng=oracle.FixedRng(),
+                          lights=scene.lights)
+    e1 = Engine(scene, page_size=16, ray_chunk=128, interpret=True,
+                compact=True, auto_pages=False)
+    e0 = Engine(scene, page_size=16, ray_chunk=128, interpret=True,
+                compact=False, auto_pages=False)
+    i1 = e1.render(vp, fixed_rng=True, quantize=False).image
+    i0 = e0.render(vp, fixed_rng=True, quantize=False).image
+    np.testing.assert_array_equal(i1, i0)
+    diff = np.abs(i1 - img_o).max(axis=-1)
+    assert (diff > 1 / 255).mean() < 0.01
+
+
+def test_random_multibank_scene():
+    """>128 pages at P=8 forces the banked per-lane traversal on random
+    multi-bank geometry (the curated multi scene reaches 3 banks only at
+    full scale, where interpret mode is impractical)."""
+    rng = np.random.default_rng(101)
+    scene = _rand_scene(rng, n_soup=2, spheres=[(22, 26)])
+    vp = _rand_viewport(rng, (24, 16), maxdepth=3)
+    _assert_contract(scene, vp, page_size=8, ray_chunk=128, min_banks=2)
