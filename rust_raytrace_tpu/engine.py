@@ -448,12 +448,15 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     dead_arr = make_dead_array(R)
     dead_base = jnp.int32(0)
     chunk_live = None    # None = all chunks live (cull kernel default)
+    grid_live = None     # traced survivor-prefix chunk count (dynamic grid)
 
     wave_counts = []
     primary = None
     cull0 = None
     prev_alive = None
     metas, masks_list = [], []
+    prefix_lanes = None      # traced content extent of state (None = R)
+    prefixes = []            # extent BEFORE each boundary (expand grids)
 
     for wave in range(maxdepth):
         # Bounce waves run on smaller chunks: compaction packs survivors
@@ -495,7 +498,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             state = trace_shade_perlane_pallas(
                 state, plt_i, plt_s, ab_tab, seed, page_size, rb_w,
                 fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
-                chunk_live=chunk_live, interpret=interpret, light=light4)
+                chunk_live=chunk_live, interpret=interpret, light=light4,
+                grid_live=grid_live)
             rows = None
         elif "trace" in profile_skip:
             rows = jnp.zeros((TRACE_ROWS_TOTAL, R), F32)
@@ -571,7 +575,13 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                 state[ROW_ALIVE], state[ROW_DEAD], cb, dead_base, R)
             masks2 = jnp.stack([state[ROW_ALIVE], state[ROW_DEAD]])
             state, dead_arr = compact_pallas(state, dead_arr, meta, cb=cb,
-                                             interpret=interpret)
+                                             interpret=interpret,
+                                             grid_live=prefix_lanes)
+            prefixes.append(prefix_lanes)
+            prefix_lanes = jnp.where(
+                overflow,
+                jnp.int32(R) if prefix_lanes is None else prefix_lanes,
+                total_a).astype(jnp.int32)
             prev_alive = jnp.sum(meta[:, 0], dtype=jnp.int32)
             dead_base = jnp.where(overflow, dead_base, dead_end)
             rb_next = bounce_rb if bounce_rb else RB
@@ -582,6 +592,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                             nc_next)).astype(jnp.int32)
             chunk_live = (jnp.arange(nc_next, dtype=jnp.int32)
                           < live_nc).astype(jnp.int32)
+            grid_live = live_nc
             metas.append(meta)
             masks_list.append(masks2)
 
@@ -594,8 +605,12 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     y = state[ROW_ACC:ROW_ACC + 4]
     if "expand" not in profile_skip:
         for w in range(len(metas) - 1, -1, -1):
+            # each step's output only needs the prefix the rays lived in
+            # BEFORE boundary w (the next step reads nothing past it);
+            # boundary 0's prefix is None -> full grid, whole image written
             y = expand_pallas(y, dead_arr, masks_list[w], metas[w],
-                              cb=cb, interpret=interpret)
+                              cb=cb, interpret=interpret,
+                              grid_live=prefixes[w])
 
     img = y[0:3]
     if quantize:

@@ -386,10 +386,16 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))
 def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
-                   interpret: bool = False):
+                   interpret: bool = False, grid_live=None):
     """Apply one wave's compaction.  state: [16, R]; dead_arr: [8, RD]
     (threaded through waves, donated); meta from compact_meta.
     Returns (new_state [16, R] — survivor prefix + zero gaps, new dead_arr).
+
+    grid_live: optional TRACED int32 lane extent of the INPUT's content
+    (the previous boundary's survivor prefix) — a Mosaic dynamic grid
+    visits only ceil(grid_live/cb) chunks.  Chunks past it are all gap
+    lanes (cnt_a = cnt_d = 0: nothing to move or harvest) and their output
+    blocks keep the aliased zeros — bit-identical to visiting them.
     """
     R = state.shape[1]
     RD = dead_arr.shape[1]
@@ -401,9 +407,14 @@ def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
     zeros3 = jnp.zeros((STATE_ROWS, R // ALIGN, ALIGN), F32)
     dead3 = dead_arr.reshape(8, RD // ALIGN, ALIGN)
 
+    if grid_live is None:
+        grid_n = NC
+    else:
+        grid_n = jnp.clip((grid_live.astype(jnp.int32) + cb - 1) // cb,
+                          1, NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(NC,),
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec((8, META_COLS), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
@@ -504,13 +515,21 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))
 def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
-                  interpret: bool = False):
+                  interpret: bool = False, grid_live=None):
     """Reverse one wave's compaction for the payload rows.
 
     y: [ROWS, R] in POST-compaction order (ROWS <= 8, leading rows of the
     state-rows-8.. payload — the engine passes 4: accum + dead flag);
     masks: [2, R] (alive; dead rows recorded PRE-compaction); meta: that
     wave's meta.  Returns [ROWS, R] in PRE-compaction order.
+
+    grid_live: optional TRACED int32 lane extent of the OUTPUT's content
+    (the prefix the rays lived in BEFORE this boundary compacted them).
+    A dynamic grid visits only ceil(grid_live/cb) chunks; the unvisited
+    tail is GARBAGE (no alias) — callers may only pass grid_live when the
+    consumer never reads past it (the expansion chain's next step reads
+    y at segment offsets < its own total_a <= this prefix; the FINAL
+    boundary-0 expand must pass None so the whole image is written).
     """
     rows = y.shape[0]
     R = y.shape[1]
@@ -523,9 +542,14 @@ def expand_pallas(y, dead_arr, masks, meta, cb: int = DEFAULT_CB,
     y3 = y.reshape(rows, R // ALIGN, ALIGN)
     dead3 = dead_arr[0:rows].reshape(rows, RD // ALIGN, ALIGN)
 
+    if grid_live is None:
+        grid_n = NC
+    else:
+        grid_n = jnp.clip((grid_live.astype(jnp.int32) + cb - 1) // cb,
+                          1, NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(NC,),
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec((8, META_COLS), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),

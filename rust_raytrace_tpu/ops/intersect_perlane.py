@@ -160,7 +160,8 @@ def _slab(ab_ref, o3, d3):
 
 
 def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
-                 RB, any_hit, sort_lanes, nb: int = 1, sb=None):
+                 RB, any_hit, sort_lanes, nb: int = 1, sb=None,
+                 klt=None, sub_f=None):
     """Winner rows for one chunk written into `dst` (a [16, RB] ref).
 
     With sort_lanes, rows land in COUNT-SORTED lane order and the per-lane
@@ -230,9 +231,14 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     masks = jnp.concatenate(
         [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
          for q in range(nbk)], axis=0)               # [nbk, RB]
-    subq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 0)
-    laneq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 1)
-    klt = (laneq < subq).astype(BF16)
+    if klt is None:
+        # no persistent scratch (direct callers): build the [RB, RB]
+        # helpers inline; kernels pass the grid-step-0 scratch instead
+        # (the iota builds cost ~us per chunk at RB = 1024)
+        subq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 0)
+        laneq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 1)
+        klt = (laneq < subq).astype(BF16)
+        sub_f = subq.astype(F32)
     ranks = jax.lax.dot_general(
         masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
         preferred_element_type=F32)                  # [nbk, RB]
@@ -244,7 +250,7 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     for q in range(nbk):
         dest = dest + masks[q:q + 1] * (base + ranks[q:q + 1])
         base = base + tot[q, 0]
-    M = _onehot(dest, jnp.ones_like(dest), RB)       # [dst, src] bf16
+    M = _onehot(dest, jnp.ones_like(dest), RB, sub_f)   # [dst, src] bf16
 
     # 4. permute the 8 input rows (byte-split one-hot matmul: f32 bits
     #    move untouched — ops/compact.py, verified bit-exact on chip)
@@ -275,14 +281,30 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     return dest
 
 
+def _sort_scratch_build(klt_s, subf_s, RB: int, sort_lanes: bool):
+    """Persistent [RB, RB] count-sort helpers, built ONCE at grid step 0
+    (strict-lower bf16 matrix for rank matmuls + f32 sublane iota for
+    one-hot builds — the per-chunk iota builds they replace measure ~us
+    each at RB = 1024; same pattern as ops/compact._build_iota_scratch)."""
+    if not sort_lanes:
+        return
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        subq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 0)
+        laneq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 1)
+        klt_s[:] = (laneq < subq).astype(BF16)
+        subf_s[:] = subq.astype(F32)
+
+
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
-            plts_ref, out_ref, sout, sgate, *, page_size: int,
-            ray_chunk: int, exclude_id: bool, any_hit: bool,
+            plts_ref, out_ref, sout, sgate, klt_s, subf_s, *,
+            page_size: int, ray_chunk: int, exclude_id: bool, any_hit: bool,
             sort_lanes: bool, nb: int):
     P = page_size
     RB = ray_chunk
     row = jax.lax.rem(pl.program_id(0), 8)
     out_ref[:] = jnp.zeros_like(out_ref)
+    _sort_scratch_build(klt_s, subf_s, RB, sort_lanes)
 
     @pl.when(flags_ref[row, 0] != 0)
     def _busy():
@@ -293,7 +315,9 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
         dest = _trace_chunk(plt, plts, sub_p, ab, o_ref[:], d_ref[:],
                             a_ref[:], excl_ref[:] if exclude_id else None,
                             sout if sort_lanes else out_ref, P, RB, any_hit,
-                            sort_lanes, nb, sgate)
+                            sort_lanes, nb, sgate,
+                            klt_s[:] if sort_lanes else None,
+                            subf_s[:] if sort_lanes else None)
         if sort_lanes:
             # inverse permutation puts winner rows back in lane order:
             # out[l] = sorted[dest[l]] — a tile-blocked gather (bits
@@ -302,9 +326,10 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
 
 
 def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
-                  plts_ref, out_ref, sout, sshd, sgate, *, page_size: int,
-                  ray_chunk: int, fixed_rng: bool, weight_cutoff: float,
-                  sort_lanes: bool, nb: int, has_lights: bool):
+                  plts_ref, out_ref, sout, sshd, sgate, klt_s, subf_s, *,
+                  page_size: int, ray_chunk: int, fixed_rng: bool,
+                  weight_cutoff: float, sort_lanes: bool, nb: int,
+                  has_lights: bool):
     """Fused trace + shade: one grid step traces a chunk's rays AND applies
     the wave's shading/scatter/state update while the winner rows are still
     in VMEM.  The separate shade kernel costs ~5 ms/wave in block DMA alone
@@ -324,6 +349,7 @@ def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
     pid = pl.program_id(0)
     row = jax.lax.rem(pid, 8)
     live = flags_ref[row, 0] != 0
+    _sort_scratch_build(klt_s, subf_s, RB, sort_lanes)
 
     @pl.when(jnp.logical_not(live))
     def _skip():
@@ -338,7 +364,9 @@ def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
         sub_p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
         dest = _trace_chunk(plt, plts, sub_p, ab, st[0:3], st[3:6],
                             st[7:8], None, sout, P, RB, False, sort_lanes,
-                            nb, sgate)
+                            nb, sgate,
+                            klt_s[:] if sort_lanes else None,
+                            subf_s[:] if sort_lanes else None)
         rows = _gather_lanes(sout[:], dest, RB) if sort_lanes else sout[:]
         rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
                                    fixed_rng)
@@ -717,6 +745,8 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
         scratch_shapes=[
             pltpu.VMEM((TRACE_ROWS, RB), F32),
             pltpu.VMEM((8, RB), F32),
+            pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), BF16),
+            pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), F32),
         ],
     )
 
@@ -738,13 +768,23 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
                                page_size: int, ray_chunk: int,
                                fixed_rng: bool, weight_cutoff: float,
                                chunk_live=None, interpret: bool = False,
-                               sort_lanes=None, light=None):
+                               sort_lanes=None, light=None, grid_live=None):
     """One bounce wave = trace + shade + state update, fused per chunk.
 
     state: [16, R] (ops.compact layout; o rows 0..2, d rows 3..5, alive row
     7); seed: [2] uint32 (key folded with the wave by the caller).  Returns
     the post-wave state [16, R].  Not used for lights configs (the shadow
-    pass must run between trace and shade — engine keeps those unfused)."""
+    pass must run between trace and shade — engine keeps those unfused).
+
+    grid_live: optional TRACED int32 — number of leading chunks the grid
+    visits (a Mosaic DYNAMIC grid dimension).  After compaction the live
+    rays form a dense prefix, so the chunks past `grid_live` hold only
+    zero gap lanes whose pass-through is the identity; `state` is aliased
+    into the output, so unvisited tail blocks keep their input bits —
+    bit-identical to visiting them, without paying the dead grid steps'
+    DMA + dispatch (~1 us/chunk x thousands of tail chunks per bounce
+    wave on 2k renders).  None = static full grid (callers without a
+    survivor prefix)."""
     if sort_lanes is None:
         sort_lanes = ray_chunk >= 2 * GROUP
     assert ray_chunk % GROUP == 0, \
@@ -765,9 +805,15 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
         light8 = light8.at[0, 0:4].set(light.astype(F32))
 
     NB = plt_i.shape[0] // (N_INT * page_size)
+    if grid_live is None:
+        grid_n = NC
+    else:
+        # dynamic grid: visit only the survivor-prefix chunks (>= 1 so the
+        # program is well-formed even with zero survivors)
+        grid_n = jnp.clip(grid_live.astype(jnp.int32), 1, NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(NC,),
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
@@ -790,6 +836,8 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
             pltpu.VMEM((TRACE_ROWS, RB), F32),
             pltpu.VMEM((TRACE_ROWS, RB), F32),
             pltpu.VMEM((8, RB), F32),
+            pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), BF16),
+            pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), F32),
         ],
     )
 
@@ -800,6 +848,9 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
                           has_lights=has_lights),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((STATE_ROWS, R), F32)],
+        # the state input aliases the output so tail blocks a dynamic grid
+        # never visits keep their bits (the _skip pass-through's identity)
+        input_output_aliases={3: 0},
         interpret=interpret,
     )(flags, seed2, light8, state.astype(F32), ab, plt_i, plt_s)[0]
     return out

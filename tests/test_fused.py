@@ -75,6 +75,40 @@ def test_perlane_fused_equals_composition(scene, state_np, fixed_rng):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(unfused))
 
 
+def test_perlane_dynamic_grid_bit_exact(scene, state_np):
+    """grid_live (Mosaic dynamic grid over the survivor prefix) must match
+    the static full grid BITWISE: visited chunks compute identically (same
+    program ids) and the unvisited tail keeps its input bits via the
+    state->output alias — exactly the _skip pass-through's identity."""
+    import jax.numpy as jnp
+
+    from rust_raytrace_tpu.ops.intersect_perlane import (
+        build_perlane_tables, trace_shade_perlane_pallas)
+    from rust_raytrace_tpu.ops.pages import build_pages_kd
+
+    pages = build_pages_kd(scene.tris, page_size=16)
+    plt_i, plt_s, ab = (jnp.asarray(x) for x in build_perlane_tables(pages))
+    # survivor prefix: chunk 0 live, chunk 1 all gap lanes (zeros), the
+    # compacted-state shape the dynamic grid is built for
+    st_np = np.array(state_np, copy=True)
+    st_np[:, RB:] = 0.0
+    st = jnp.asarray(st_np)
+    seed = jnp.asarray([123, 456], jnp.uint32)
+    chunk_live = jnp.asarray([1, 0], jnp.int32)
+
+    static = trace_shade_perlane_pallas(
+        st, plt_i, plt_s, ab, seed, 16, RB, fixed_rng=False,
+        weight_cutoff=1 / 512, chunk_live=chunk_live, interpret=True)
+    dyn = trace_shade_perlane_pallas(
+        st, plt_i, plt_s, ab, seed, 16, RB, fixed_rng=False,
+        weight_cutoff=1 / 512, chunk_live=chunk_live,
+        grid_live=jnp.int32(1), interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(static), np.asarray(dyn))
+    # the unvisited tail chunk is bit-preserved (all zeros here)
+    np.testing.assert_array_equal(np.asarray(dyn)[:, RB:], 0.0)
+
+
 @pytest.mark.parametrize("fixed_rng", [True, False])
 def test_union_fused_equals_composition(scene, state_np, fixed_rng):
     import jax.numpy as jnp
