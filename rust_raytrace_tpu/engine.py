@@ -676,23 +676,19 @@ class Engine(RayCaster):
         self.exact_cull = exact_cull
         self.compact = compact
         if ncompact is None:
-            # Tail-wave compaction boundaries cost a fixed ~5 ms each in
-            # compact+expand; whether they pay depends on how long rays
-            # survive.  Low-alpha scenes (teapot: matte 0.2) kill most
-            # weight by wave 2 — compact ONLY after wave 0 (chip sweep
-            # ncompact -1/3/2/1 -> 133/128/122/118.5 ms, probe_r3a/b).
-            # Higher-alpha scenes keep rays alive longer and want one more
-            # boundary: multi (alpha 0.341) measured 250.6 ms at nc=2 vs
-            # 267.1 at nc=1 under SAH pages (probe_r4h).  circles
-            # (alpha 0.296) flipped when SAH shortened its bounce chains:
-            # nc=1 55.7 Mrays/s vs nc=2 54.3, nc=-1 48.7 (probe_r4f/g) —
-            # so the tri-count-weighted mean scatter alpha threshold sits
-            # between the two measured optima: > 0.32 -> 2, else 1.
-            tris = scene.tris
-            kinds = tris.materials.kind[1:]
-            alphas = np.where(kinds == 0, 0.0, tris.materials.alpha[1:])
-            mean_alpha = float(alphas.mean()) if len(alphas) else 0.0
-            ncompact = 2 if mean_alpha > 0.32 else 1
+            # Compact after the first TWO wave boundaries.  Since the
+            # compact/expand kernels grew dynamic (traced) grids over the
+            # live-ray prefix, a boundary costs ~proportionally to the
+            # survivors it handles, so the old fixed ~5 ms-per-boundary
+            # economics (and the scene-adaptive mean-alpha rule it forced)
+            # are gone.  Chip sweep with dynamic grids (probe_r5b/r5c,
+            # nc=1 vs nc=2 ms): teapot_2k 108.5/105.8, lights teapot_2k
+            # 211.6/186.9, spp4 33.4/32.2, synthetic_100k 328.6/261.8,
+            # multi nc=2 246.8 ~= nc=3 247.3; the only hold-out is
+            # circles (151.2/152.7, -1%, within the spread).  nc=3 and
+            # nc=-1 still lose on teapot (109.5/112.1): late boundaries
+            # retire too few rays to cover even prefix-priced kernels.
+            ncompact = 2
         self.ncompact = ncompact
         if auto_pages:
             page_size = auto_page_size(max(len(scene.tris) - 1, 1),

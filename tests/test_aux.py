@@ -125,23 +125,17 @@ def test_depth_indented_trace_logging(caplog):
                for r in caplog.records) or " Bounding box:" in text
 
 
-def test_engine_auto_ncompact_heuristic():
-    """Scene-adaptive compaction depth: scenes up to circles' alpha 0.296
-    compact only after wave 0 (under SAH pages circles measured nc=1 best,
-    probe_r4g); multi (alpha 0.341) keeps a second boundary (probe_r4h:
-    250.6 ms at nc=2 vs 267.1 at nc=1) — docs/PERF.md."""
+def test_engine_auto_ncompact_default():
+    """With dynamic (prefix-proportional) compact/expand grids the measured
+    optimum is ncompact=2 across scenes (probe_r5b/r5c — docs/PERF.md), so
+    the default is a constant, with explicit override honored."""
     from rust_raytrace_tpu.engine import Engine
-    from rust_raytrace_tpu.models import circles, multi, teapot
+    from rust_raytrace_tpu.models import circles, multi
 
     s, _ = circles.build(resolution=(16, 16))
-    assert Engine(s, interpret=True).ncompact == 1
+    assert Engine(s, interpret=True).ncompact == 2
     s, _ = multi.build(resolution=(16, 16))
     assert Engine(s, interpret=True).ncompact == 2
-    try:
-        s, _ = teapot.build(resolution=(16, 16))
-    except Exception:
-        return                      # teapot asset unavailable
-    assert Engine(s, interpret=True).ncompact == 1
     # explicit override still wins
     assert Engine(s, interpret=True, ncompact=-1).ncompact == -1
 
