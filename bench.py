@@ -89,7 +89,7 @@ def main():
                 fixed_rng=False, interpret=False, want_primary=False,
                 quantize=True, weight_cutoff=1 / 512, pk0=pk0, nbuf=eng.nbuf,
                 plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
-                ncompact=eng.ncompact)
+                ncompact=eng.ncompact, gate_frac=eng.gate_frac)
             return img, wc
 
         img, wc = dev_render(key)
@@ -118,7 +118,8 @@ def main():
                     fixed_rng=False, interpret=False, want_primary=False,
                     quantize=True, weight_cutoff=1 / 512, pk0=pk0,
                     nbuf=eng.nbuf, plt_i=eng.plt_i, plt_s=eng.plt_s,
-                    ab_tab=eng.ab_tab, ncompact=eng.ncompact)[:2]
+                    ab_tab=eng.ab_tab, ncompact=eng.ncompact,
+                    gate_frac=eng.gate_frac)[:2]
                 return (img[0, 0].astype(jnp.float32),
                         rays + jnp.sum(wc, dtype=jnp.int32))
             return jax.lax.fori_loop(0, ND, body,

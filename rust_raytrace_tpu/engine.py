@@ -397,7 +397,8 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                                     "fixed_rng", "interpret", "want_primary",
                                     "quantize", "has_lights", "weight_cutoff",
                                     "nbuf", "cb", "bounce_rb",
-                                    "profile_skip", "ncompact", "spp"))
+                                    "profile_skip", "ncompact", "spp",
+                                    "gate_frac"))
 def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            key, maxdepth: int, ray_chunk: int,
                            page_size: int, fixed_rng: bool, interpret: bool,
@@ -407,7 +408,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            pk0=None, nbuf: int = 2, cb: int = DEFAULT_CB,
                            bounce_rb: int = 0, plt_i=None, plt_s=None,
                            ab_tab=None, profile_skip: tuple = (),
-                           ncompact: int = -1, spp: int = 1):
+                           ncompact: int = -1, spp: int = 1,
+                           gate_frac=None):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -422,13 +424,15 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
     Returns (img [3, R] u8/f32 in ORIGINAL tile order, wave_counts, primary,
     cull0 — the wave-0 (counts, plist) candidate buffers when want_primary).
 
-    ncompact: number of leading wave boundaries that compact (-1 = all,
-    i.e. maxdepth-1).  The tail waves retire few rays for a fixed
-    compact+expand cost, so skipping their compaction can win: skipped
-    boundaries keep the previous survivor prefix and chunk_live flags, and
-    dead lanes simply ride along (the per-lane kernel's count sort parks
-    them in the zero-page class).  Bit-exact for any value — compaction is
-    a reversed permutation either way.
+    ncompact: number of leading wave boundaries that MAY compact (-1 = all,
+    i.e. maxdepth-1).  Skipped boundaries keep the previous survivor prefix
+    and chunk_live flags, and dead lanes simply ride along (the per-lane
+    kernel's count sort parks them in the zero-page class).  gate_frac:
+    when set, every eligible boundary additionally SELF-GATES at runtime —
+    it compacts only if the padded survivor count is <= gate_frac times the
+    current content prefix (see compact_meta; the skip is a traced in-kernel
+    identity pass-through costing ~0.1 ms).  Bit-exact for any setting —
+    compaction is a reversed permutation either way.
     """
     R = o.shape[1]
     RB = ray_chunk
@@ -467,6 +471,20 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
         o_w = state[0:3]
         d_w = state[3:6]
         alive = state[ROW_ALIVE] != 0.0
+        if wave > 0:
+            # refresh chunk liveness EVERY wave (one cheap [NC]-chunk
+            # reduce), not just at compaction boundaries: after the last
+            # boundary the prefix goes stale, and chunks whose rays have
+            # all retired still paid the full per-chunk fixed cost — on
+            # the banked per-lane kernel (7 banks: ~56 count slabs + a
+            # 112-class sort per chunk) a fully-dead late wave measured
+            # 31.6 ms that this flag refresh turns into pass-through
+            # copies (synthetic_100k, probe_r6a/r6f).  The kernels'
+            # chunk_live skip is the proven boundary mechanism; the flags
+            # only ever drop chunks with ZERO live lanes, so this is
+            # bit-exact by the same argument.
+            chunk_live = jnp.any(alive.reshape(R // rb_w, rb_w),
+                                 axis=1).astype(jnp.int32)
         # ray counters (the reference's "Rays" stat, raytrace.rs:1275-1278):
         # waves >= 1 reuse the compaction meta's per-chunk alive counts — a
         # [NC] reduce instead of a fresh full-R reduce every wave
@@ -564,30 +582,46 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                 shadowed=None if shadowed is None else shadowed[None, :],
                 interpret=interpret)
 
-        nc_lim = (maxdepth - 1) if ncompact < 0 else ncompact
-        if wave < maxdepth - 1 and wave < nc_lim \
+        if isinstance(ncompact, tuple):
+            # explicit per-boundary schedule (boundary w = after wave w;
+            # auto-planned from measured wave decay, see plan_boundaries —
+            # unlike an int prefix it can express skip-then-compact
+            # schedules like synthetic_100k's optimal {0,1,3})
+            eligible = wave < len(ncompact) and bool(ncompact[wave])
+        else:
+            nc_lim = (maxdepth - 1) if ncompact < 0 else ncompact
+            eligible = wave < nc_lim
+        if wave < maxdepth - 1 and eligible \
                 and "compact" not in profile_skip:
             # No lax.cond here: a cond around the [16, R] state + dead-array
             # operands costs ~3 ms/wave in XLA branch copies (profiler);
-            # the rare overflow case (>~87% survivors) rides meta's M_IDENT
-            # flag and becomes an in-kernel identity pass-through.
-            meta, total_a, overflow, dead_end = compact_meta(
-                state[ROW_ALIVE], state[ROW_DEAD], cb, dead_base, R)
+            # both the rare overflow case (>~87% survivors) and the
+            # SELF-GATED not-worth-it case (survivors > gate_frac of the
+            # current prefix — see compact_meta) ride meta's M_IDENT flag
+            # and become in-kernel identity pass-throughs, so the
+            # keep-or-compact decision is traced per render at no host
+            # sync: the boundary schedule adapts to the scene's actual
+            # wave decay instead of a static ncompact.
+            meta, total_a, skip, dead_end = compact_meta(
+                state[ROW_ALIVE], state[ROW_DEAD], cb, dead_base, R,
+                prefix=prefix_lanes, gate_frac=gate_frac)
             masks2 = jnp.stack([state[ROW_ALIVE], state[ROW_DEAD]])
             state, dead_arr = compact_pallas(state, dead_arr, meta, cb=cb,
                                              interpret=interpret,
                                              grid_live=prefix_lanes)
             prefixes.append(prefix_lanes)
             prefix_lanes = jnp.where(
-                overflow,
+                skip,
                 jnp.int32(R) if prefix_lanes is None else prefix_lanes,
                 total_a).astype(jnp.int32)
             prev_alive = jnp.sum(meta[:, 0], dtype=jnp.int32)
-            dead_base = jnp.where(overflow, dead_base, dead_end)
+            dead_base = jnp.where(skip, dead_base, dead_end)
             rb_next = bounce_rb if bounce_rb else RB
             nc_next = R // rb_next
+            old_live_nc = jnp.int32(nc_next) if grid_live is None \
+                else grid_live
             live_nc = jnp.where(
-                overflow, nc_next,
+                skip, old_live_nc,
                 jnp.minimum((total_a + rb_next - 1) // rb_next,
                             nc_next)).astype(jnp.int32)
             chunk_live = (jnp.arange(nc_next, dtype=jnp.int32)
@@ -625,6 +659,48 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
 
 
 
+
+
+def plan_boundaries(wave_rays, tau_mid: float = 0.65,
+                    tau_last: float = 0.0):
+    """Static compaction-boundary schedule from measured wave decay.
+
+    wave_rays: live-ray count at the START of each wave (a render's
+    wave_rays output).  Boundary w (after wave w) pays iff the survivor
+    ratio against the CURRENT content prefix is below a threshold that
+    shrinks with the number of waves left to amortize the compaction:
+    tau_mid when >= 2 waves remain, tau_last (default: NEVER) before the
+    final wave.  Thresholds fitted to the chip sweeps (probe_r5b/r6b-r6f,
+    docs/PERF.md): teapot live decay [3.69M, 1.24M, 600k, 465k, 120k] ->
+    {0,1} (the measured optimum, 104.7 ms with the per-wave chunk-flag
+    refresh; b3 ratio 0.78 loses and even b4 at ratio 0.20 measured
+    105.4 -> 107.6 when compacted); synthetic_100k [3.69M, 818k, 410k,
+    409k, 0] -> {0,1} (its old nc=4 win is superseded by the flag
+    refresh: the fully-dead wave 4 costs pass-through copies instead of
+    31.6 ms, and compacting b4 on top measured 231.4 -> 234.7); multi
+    [3.69M, 2.35M, 1.09M, 731k, 252k] -> {0,1} (243.8 vs 245.6 with b4);
+    lights b4 is a wash (185.3/185.2).  A traced self-gating variant
+    (compact_meta gate_frac) measured ~4.7 ms WORSE on teapot at ANY
+    threshold: launching ident-able compact/expand kernels at every
+    boundary costs more than the decisions save, so the schedule is
+    planned host-side from the previous render and baked in statically
+    (probe_r6c).
+
+    Returns a per-boundary bool tuple (len = maxdepth-1) for Engine's
+    ncompact.
+    """
+    n = len(wave_rays)
+    sched = []
+    prefix = max(float(wave_rays[0]), 1.0)
+    for b in range(1, n):
+        surv = float(wave_rays[b])
+        tau = tau_last if n - b == 1 else tau_mid
+        if tau > 0.0 and surv <= tau * prefix:
+            sched.append(True)
+            prefix = max(surv, 1.0)
+        else:
+            sched.append(False)
+    return tuple(sched)
 
 
 def auto_page_size(n_tris: int, page_size: int = 56) -> int:
@@ -672,24 +748,25 @@ class Engine(RayCaster):
                  pinhole_origin: bool = True, weight_cutoff: float = 1 / 512,
                  bounce_chunk: int = 0, nbuf: int = 4,
                  exact_cull: bool = True, compact: bool = True,
-                 auto_pages: bool = True, ncompact: Optional[int] = None):
+                 auto_pages: bool = True, ncompact: Optional[int] = None,
+                 gate_frac: Optional[float] = None):
         self.exact_cull = exact_cull
         self.compact = compact
+        self._auto_schedule = False
         if ncompact is None:
-            # Compact after the first TWO wave boundaries.  Since the
-            # compact/expand kernels grew dynamic (traced) grids over the
-            # live-ray prefix, a boundary costs ~proportionally to the
-            # survivors it handles, so the old fixed ~5 ms-per-boundary
-            # economics (and the scene-adaptive mean-alpha rule it forced)
-            # are gone.  Chip sweep with dynamic grids (probe_r5b/r5c,
-            # nc=1 vs nc=2 ms): teapot_2k 108.5/105.8, lights teapot_2k
-            # 211.6/186.9, spp4 33.4/32.2, synthetic_100k 328.6/261.8,
-            # multi nc=2 246.8 ~= nc=3 247.3; the only hold-out is
-            # circles (151.2/152.7, -1%, within the spread).  nc=3 and
-            # nc=-1 still lose on teapot (109.5/112.1): late boundaries
-            # retire too few rays to cover even prefix-priced kernels.
+            # Start from the universal chip optimum (compact after waves 0
+            # and 1 — probe_r5b/r5c), then AUTOTUNE: the first TPU render's
+            # measured wave decay plans a per-boundary static schedule
+            # (plan_boundaries) that later renders compile against.  The
+            # traced self-gating alternative (gate_frac) measured ~4.7 ms
+            # of program-shape overhead on teapot at any threshold
+            # (probe_r6c), so adaptivity lives host-side.
             ncompact = 2
+            self._auto_schedule = True
+        elif isinstance(ncompact, (list, tuple)):
+            ncompact = tuple(bool(b) for b in ncompact)
         self.ncompact = ncompact
+        self.gate_frac = gate_frac
         if auto_pages:
             page_size = auto_page_size(max(len(scene.tris) - 1, 1),
                                        page_size)
@@ -717,8 +794,20 @@ class Engine(RayCaster):
             self.plt_i = jnp.asarray(plt_i)
             self.plt_s = jnp.asarray(plt_s)
             self.ab_tab = jnp.asarray(ab)
+            tables_mb = (plt_i.size + plt_s.size + ab.size) * 4 / 2**20
         else:
             self.plt_i = self.plt_s = self.ab_tab = None
+            tables_mb = 0.0
+        # Scenes beyond ~60k tris carry per-lane tables big enough that the
+        # Mosaic kernel's scoped-VMEM stack (tables + the [RB, RB] sort
+        # scratch + block buffers, ~11 MB of non-table overhead at RB=1024)
+        # exceeds XLA's default 16 MiB limit; raise it per-compile (the
+        # XLA_FLAGS route crashes the local axon CPU client — docs/PERF.md).
+        # render() routes through an AOT lower/compile cache when set.
+        self._scoped_vmem_opts = (
+            {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+            if tables_mb > 4.0 else None)
+        self._aot_cache = {}
         self.page_size = page_size
         self.ray_chunk = ray_chunk
         self.interpret = interpret
@@ -732,6 +821,34 @@ class Engine(RayCaster):
             self._perm_cache[key] = tile_permutation(
                 v.height, v.width, v.samples_per_pixel, tile)
         return self._perm_cache[key]
+
+    def _call_compact(self, pos, dyn, statics):
+        """Invoke _render_device_compact, routing through an AOT
+        lower/compile cache when the per-lane tables need a raised
+        scoped-VMEM limit (per-compile compiler_options are the only way
+        to reach the tunnel-side TPU compiler — docs/PERF.md)."""
+        opts = self._scoped_vmem_opts
+        if opts is None or self.interpret or \
+                jax.default_backend() != "tpu":
+            return _render_device_compact(*pos, **dyn, **statics)
+        dyn_keys = tuple(k for k in sorted(dyn) if dyn[k] is not None)
+        dyn_vals = [dyn[k] for k in dyn_keys]
+        sig = (tuple(sorted(statics.items())), dyn_keys,
+               tuple((a.shape, str(a.dtype))
+                     for a in jax.tree_util.tree_leaves((pos, dyn_vals))))
+        fn = self._aot_cache.get(sig)
+        if fn is None:
+            none_kw = {k: None for k in dyn if dyn[k] is None}
+
+            @jax.jit
+            def run(pos_a, dyn_a):
+                kw = dict(zip(dyn_keys, dyn_a))
+                return _render_device_compact(*pos_a, **kw, **none_kw,
+                                              **statics)
+
+            fn = run.lower(pos, dyn_vals).compile(compiler_options=opts)
+            self._aot_cache[sig] = fn
+        return fn(pos, dyn_vals)
 
     def render(self, v: Viewport, key: Optional[jax.Array] = None,
                fixed_rng: bool = False, progress=None, debug: bool = False,
@@ -784,20 +901,25 @@ class Engine(RayCaster):
             and (spp == 1 or R % spp == 0)
         cull0 = None
         if use_compact:
-            img_dev, wave_counts, primary, cull0 = _render_device_compact(
-                self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
+            statics = dict(
                 maxdepth=v.maxdepth, ray_chunk=RB, page_size=self.page_size,
                 fixed_rng=fixed_rng, interpret=self.interpret,
                 want_primary=debug, quantize=quant,
                 has_lights=lights is not None,
+                weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
+                nbuf=self.nbuf, bounce_rb=self.bounce_chunk,
+                ncompact=self.ncompact, spp=spp,
+                gate_frac=self.gate_frac)
+            dyn = dict(
                 light_orig=(jnp.asarray(lights.orig, dtype=F32)
                             if lights is not None else None),
                 light_len2=(jnp.asarray(lights.len2, dtype=F32)
                             if lights is not None else None),
-                weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
-                pk0=pk0, nbuf=self.nbuf, bounce_rb=self.bounce_chunk,
-                plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab,
-                ncompact=self.ncompact, spp=spp)
+                pk0=pk0, plt_i=self.plt_i, plt_s=self.plt_s,
+                ab_tab=self.ab_tab)
+            img_dev, wave_counts, primary, cull0 = self._call_compact(
+                (self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0,
+                 key), dyn, statics)
         else:
             img_dev, wave_counts, primary = _render_device(
                 self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key,
@@ -860,6 +982,14 @@ class Engine(RayCaster):
                 primary_chunk = (qpos // RB).reshape(v.height, v.width)
 
         wave_counts = np.asarray(wave_counts)
+        if self._auto_schedule and use_compact and not self.interpret \
+                and jax.default_backend() == "tpu":
+            # Autotune the compaction-boundary schedule from this render's
+            # measured wave decay (one recompile on the next render; any
+            # schedule is bit-exact, so only performance changes).
+            planned = plan_boundaries(wave_counts.tolist())
+            if planned != self.ncompact:
+                self.ncompact = planned
         seconds = time.perf_counter() - t0
         result = RenderResult(
             image=img, rays_traced=int(wave_counts.sum()),

@@ -110,16 +110,27 @@ def make_dead_array(R: int):
     return jnp.zeros((8, dead_capacity(R)), dtype=F32)
 
 
-def compact_meta(alive, dead, cb: int, dead_base, R: int):
+def compact_meta(alive, dead, cb: int, dead_base, R: int,
+                 prefix=None, gate_frac=None):
     """XLA-side per-chunk counts/offsets.  alive/dead: [R] bool-ish.
 
-    Returns (meta [NC, META_COLS] int32, total_a, overflow, dead_end).
+    Returns (meta [NC, META_COLS] int32, total_a, skip, dead_end).
     total_a = lanes occupied by the survivor prefix (128-aligned per chunk);
-    overflow = total_a > R — recorded into meta column M_IDENT so the
-    KERNEL falls back to an identity pass-through (no harvest) for that
-    wave; no lax.cond at the call site (a cond around [16, R] + dead-array
-    operands costs ~3 ms/wave in XLA branch copies — profiler-measured);
-    dead_end = dead_base + this wave's padded dead lanes.
+    skip = the boundary becomes an in-kernel identity pass-through (no
+    harvest), recorded into meta column M_IDENT; no lax.cond at the call
+    site (a cond around [16, R] + dead-array operands costs ~3 ms/wave in
+    XLA branch copies — profiler-measured); dead_end = dead_base + this
+    wave's padded dead lanes.  Two skip triggers:
+      - overflow: total_a > R (alignment slack at >~87% survivors);
+      - SELF-GATING (gate_frac set): total_a > gate_frac * prefix — the
+        boundary would retire too few lanes to pay for itself.  With the
+        dynamic (prefix-proportional) compact/expand grids, a compaction's
+        cost ~ the CURRENT prefix while its savings ~ (prefix - total_a)
+        per remaining wave, so a fixed survivor-ratio threshold is the
+        economic rule; the decision is fully traced (no host sync, no
+        cond), and a skipped boundary costs only its prefix-sized identity
+        copy (~0.1 ms).  `prefix`: traced lane extent of current content
+        (None = R, the first boundary).
     """
     NC = R // cb
     cnt_a = jnp.sum(alive.reshape(NC, cb) != 0, axis=1, dtype=jnp.int32)
@@ -132,12 +143,17 @@ def compact_meta(alive, dead, cb: int, dead_base, R: int):
     off_d = dead_base.astype(jnp.int32) + cs_d - pad_d
     total_a = cs_a[-1]
     dead_end = dead_base.astype(jnp.int32) + cs_d[-1]
-    overflow = total_a > R
-    ident = jnp.broadcast_to(overflow.astype(jnp.int32), cnt_a.shape)
+    skip = total_a > R
+    if gate_frac is not None:
+        pref_f = (jnp.float32(R) if prefix is None
+                  else prefix.astype(jnp.float32))
+        skip = skip | (total_a.astype(jnp.float32)
+                       > jnp.float32(gate_frac) * pref_f)
+    ident = jnp.broadcast_to(skip.astype(jnp.int32), cnt_a.shape)
     meta = jnp.stack([cnt_a, pad_a // ALIGN, off_a,
                       cnt_d, pad_d // ALIGN, off_d,
                       ident, jnp.zeros_like(cnt_a)], axis=1)
-    return meta, total_a, overflow, dead_end
+    return meta, total_a, skip, dead_end
 
 
 def _ranks(alive_f, dead_f, cb: int, klt=None):

@@ -31,6 +31,11 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
 
     from ..engine import _camera_rays_tiled, _render_device_compact, pick_tile
 
+    if getattr(eng, "_auto_schedule", False) \
+            and jax.default_backend() == "tpu":
+        # one full render autotunes the compaction-boundary schedule from
+        # the measured wave decay before the timed loop compiles against it
+        eng.render(vp, key=jax.random.PRNGKey(7))
     key = jax.random.PRNGKey(0)
     rb = eng.ray_chunk
     R0 = vp.height * vp.width * spp
@@ -66,7 +71,8 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                             if lights is not None else None),
                 weight_cutoff=eng.weight_cutoff, pk0=pk0, nbuf=eng.nbuf,
                 plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
-                ncompact=eng.ncompact,
+                ncompact=eng.ncompact, bounce_rb=eng.bounce_chunk,
+                gate_frac=eng.gate_frac,
                 **({} if cb is None else {"cb": cb}))[:2]
             return (img[0, 0].astype(F32),
                     rays + jnp.sum(wc, dtype=jnp.int32))

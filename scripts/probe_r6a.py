@@ -66,7 +66,8 @@ def profile_one(tag, build, copts=None):
             fixed_rng=False, interpret=False, want_primary=False,
             quantize=True, weight_cutoff=eng.weight_cutoff, pk0=pk0,
             nbuf=eng.nbuf, plt_i=eng.plt_i, plt_s=eng.plt_s,
-            ab_tab=eng.ab_tab, ncompact=eng.ncompact)
+            ab_tab=eng.ab_tab, ncompact=eng.ncompact,
+            gate_frac=eng.gate_frac)
         return img
 
     if copts is not None:

@@ -125,19 +125,71 @@ def test_depth_indented_trace_logging(caplog):
                for r in caplog.records) or " Bounding box:" in text
 
 
-def test_engine_auto_ncompact_default():
-    """With dynamic (prefix-proportional) compact/expand grids the measured
-    optimum is ncompact=2 across scenes (probe_r5b/r5c — docs/PERF.md), so
-    the default is a constant, with explicit override honored."""
+def test_engine_compaction_defaults():
+    """Default = static nc=2 start + autotuned per-boundary schedule from
+    the first TPU render's wave decay (probe_r5b/r6b/r6c — docs/PERF.md);
+    explicit ncompact (int or tuple) disables autotuning; gate_frac stays
+    an opt-in."""
     from rust_raytrace_tpu.engine import Engine
     from rust_raytrace_tpu.models import circles, multi
 
     s, _ = circles.build(resolution=(16, 16))
-    assert Engine(s, interpret=True).ncompact == 2
+    e = Engine(s, interpret=True)
+    assert e.ncompact == 2 and e._auto_schedule and e.gate_frac is None
     s, _ = multi.build(resolution=(16, 16))
-    assert Engine(s, interpret=True).ncompact == 2
-    # explicit override still wins
-    assert Engine(s, interpret=True, ncompact=-1).ncompact == -1
+    e = Engine(s, interpret=True, ncompact=2)
+    assert e.ncompact == 2 and not e._auto_schedule
+    e = Engine(s, interpret=True, ncompact=(True, False, False, True))
+    assert e.ncompact == (True, False, False, True)
+    e = Engine(s, interpret=True, ncompact=-1, gate_frac=0.5)
+    assert e.ncompact == -1 and e.gate_frac == 0.5
+
+
+def test_plan_boundaries():
+    """The schedule planner reproduces each measured chip optimum from its
+    measured wave decay (probe_r5b/r6b/r6c — docs/PERF.md)."""
+    from rust_raytrace_tpu.engine import plan_boundaries
+
+    teapot = [3686400, 1243347, 599855, 465224, 119892]
+    assert plan_boundaries(teapot) == (True, True, False, False)
+    synth = [3686400, 818202, 409689, 409250, 0]
+    assert plan_boundaries(synth) == (True, True, False, False)
+    multi = [3686400, 2347176, 1089194, 730833, 251638]
+    assert plan_boundaries(multi) == (True, True, False, False)
+    # a scene with strong mid decay keeps its third boundary
+    assert plan_boundaries([100, 30, 10, 3, 2]) == \
+        (True, True, True, False)
+    # degenerate: everything dies after wave 0 (the per-wave chunk-flag
+    # refresh makes the dead last wave ~free without a boundary)
+    assert plan_boundaries([100, 0, 0]) == (True, False)
+
+
+def test_compact_meta_self_gating():
+    """compact_meta's gate_frac skip trigger: survivors above the ratio of
+    the current prefix mark the boundary M_IDENT (in-kernel identity);
+    below it the boundary compacts and harvests normally."""
+    import jax.numpy as jnp
+
+    from rust_raytrace_tpu.ops.compact import M_IDENT, compact_meta
+
+    R, cb = 1024, 256
+    alive = (jnp.arange(R) < 600).astype(jnp.float32)      # 640 padded
+    dead = jnp.zeros(R)
+    # no gate: only the >R overflow can skip
+    meta, total_a, skip, _ = compact_meta(alive, dead, cb, jnp.int32(0), R)
+    assert int(total_a) == 640 and not bool(skip)
+    # gate vs full-R prefix: 640 > 0.5*1024 -> skip
+    meta, _, skip, _ = compact_meta(alive, dead, cb, jnp.int32(0), R,
+                                    prefix=None, gate_frac=0.5)
+    assert bool(skip) and int(meta[0, M_IDENT]) == 1
+    # same survivors vs a 1024 prefix at frac 0.7: 640 <= 716 -> compact
+    meta, _, skip, _ = compact_meta(alive, dead, cb, jnp.int32(0), R,
+                                    prefix=jnp.int32(1024), gate_frac=0.7)
+    assert not bool(skip) and int(meta[0, M_IDENT]) == 0
+    # shrunken prefix 768 at frac 0.7: 640 > 537 -> skip
+    meta, _, skip, _ = compact_meta(alive, dead, cb, jnp.int32(0), R,
+                                    prefix=jnp.int32(768), gate_frac=0.7)
+    assert bool(skip)
 
 
 def test_auto_page_size():

@@ -229,3 +229,23 @@ def test_overflow_identity_passthrough():
     out = C.expand_pallas(jnp.asarray(y), new_dead, masks, meta, cb=cb,
                           interpret=True)
     np.testing.assert_array_equal(np.asarray(out), y)
+
+
+def test_engine_schedule_variants_bitexact():
+    """Any compaction-boundary schedule — int prefix, per-boundary tuple
+    (incl. skip-then-compact, the planner's synthetic_100k shape), or the
+    traced self-gate — renders the SAME image bit-exactly under fixed_rng:
+    compaction is a reversed permutation whichever boundaries run."""
+    from rust_raytrace_tpu.engine import Engine
+    from rust_raytrace_tpu.models import circles
+
+    scene, vp = circles.build(resolution=(48, 32))
+    key = jax.random.PRNGKey(3)
+    base = Engine(scene, interpret=True, ncompact=2).render(
+        vp, key=key, fixed_rng=True)
+    for kw in [dict(ncompact=(True, False, False, True)),
+               dict(ncompact=-1, gate_frac=0.7),
+               dict(ncompact=(False, True))]:
+        img = Engine(scene, interpret=True, **kw).render(
+            vp, key=key, fixed_rng=True).image
+        np.testing.assert_array_equal(img, base.image, err_msg=str(kw))
