@@ -216,6 +216,23 @@ def _gather_lanes(vals, idx_f, cb: int):
     return jnp.concatenate(outs, axis=1)
 
 
+def _src_index_from_onehot(M, cb: int):
+    """Source-index map of a FULL one-hot permutation M[dst, src]:
+    srcidx[dst] = the src lane M routes there, recovered by pushing the
+    lane iota (two exact byte planes, lane ids < 2^16) through M on the
+    MXU.  With it, a scatter-shaped forward permutation becomes a
+    tile-blocked lane GATHER (bits verbatim) instead of byte-splitting
+    every payload row through the MXU."""
+    lane_int = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+    lane_lo = (lane_int & 255).astype(F32).astype(BF16)
+    lane_hi = jax.lax.shift_right_logical(
+        lane_int, 8).astype(F32).astype(BF16)
+    planes = jax.lax.dot_general(
+        jnp.concatenate([lane_lo, lane_hi], axis=0), M,
+        (((1,), (1,)), ((), ())), preferred_element_type=F32)   # [2, cb]
+    return planes[0:1] + F32(256.0) * planes[1:2]
+
+
 def _to_bytes(vals):
     """f32 [rows, CB] -> bf16 byte planes [4*rows, CB] (each value 0..255,
     exact in bf16)."""
@@ -357,23 +374,15 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
         rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
 
         # The forward permutation is scatter-shaped, but its SOURCE-INDEX
-        # map is recoverable with a tiny matmul: push the lane iota (split
-        # into two exact byte planes — lane ids < 2^16) through the one-hot,
-        # then move the payload rows by a tile-blocked GATHER (bits
+        # map is recoverable with a tiny matmul (_src_index_from_onehot),
+        # then the payload rows move by a tile-blocked GATHER (bits
         # verbatim) instead of byte-splitting every payload row through the
         # MXU (was 48-96 bf16 planes per chunk).
         lane_int = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
-        lane_lo = (lane_int & 255).astype(F32).astype(BF16)
-        lane_hi = jax.lax.shift_right_logical(
-            lane_int, 8).astype(F32).astype(BF16)
-        lane_pl = jnp.concatenate([lane_lo, lane_hi], axis=0)   # [2, cb]
 
         def src_index(rank, mask_f):
-            m = _onehot(rank, mask_f, cb, sub_s[:])
-            planes = jax.lax.dot_general(
-                lane_pl, m, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32)              # [2, cb]
-            return planes[0:1] + F32(256.0) * planes[1:2]
+            return _src_index_from_onehot(
+                _onehot(rank, mask_f, cb, sub_s[:]), cb)
 
         @pl.when(cnt_a > 0)
         def _alive():

@@ -53,7 +53,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compact import STATE_ROWS, _gather_lanes, _onehot, _permute
+from .compact import (STATE_ROWS, _gather_lanes, _onehot, _permute,
+                      _src_index_from_onehot)
 from .pages import PACK_LANES, PageTables
 from .shade import _shade_state_rows, scatter_rv, shadow_uvs
 
@@ -161,7 +162,7 @@ def _slab(ab_ref, o3, d3):
 
 def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
                  RB, any_hit, sort_lanes, nb: int = 1, sb=None,
-                 klt=None, sub_f=None):
+                 klt=None, sub_f=None, permute_gather=None):
     """Winner rows for one chunk written into `dst` (a [16, RB] ref).
 
     With sort_lanes, rows land in COUNT-SORTED lane order and the per-lane
@@ -252,25 +253,39 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
         base = base + tot[q, 0]
     M = _onehot(dest, jnp.ones_like(dest), RB, sub_f)   # [dst, src] bf16
 
-    # 4. permute the 8 input rows (byte-split one-hot matmul: f32 bits
-    #    move untouched — ops/compact.py, verified bit-exact on chip)
+    # 4. permute the 8 input rows.  Two bit-exact forms, chosen by bank
+    #    count (both measured on chip, probe_r6g): multi-bank kernels use
+    #    the source-index GATHER (one tiny matmul recovers srcidx, rows
+    #    move as verbatim bits — multi 243.8 -> 238.8 ms, synthetic
+    #    231.4 -> 230.2); the 1-bank kernel keeps the byte-split one-hot
+    #    MXU matmul (teapot 104.7 vs 106.8 with the gather: that kernel
+    #    is VPU-bound, so moving permute work from the idle MXU onto the
+    #    VPU costs more than the MACs saved).
     in8 = jnp.concatenate(
         [o_v, d_v, alive_row,
          excl_v[0:1, :] if excl_v is not None else alive_row], axis=0)
-    p8 = _permute(in8, M, compacting=True, mode="bytes")  # [8, RB]
+    use_gather = (nb > 1) if permute_gather is None else permute_gather
+    if use_gather:
+        srcidx = _src_index_from_onehot(M, RB)
+        p8 = _gather_lanes(in8, srcidx, RB)           # [8, RB]
+    else:
+        p8 = _permute(in8, M, compacting=True, mode="bytes")
 
     # 5. trace the count-uniform groups into scratch.  For nb > 1 the
-    # per-bank count matrix rides the SAME permutation (counts are small
-    # exact integers, so a direct bf16 one-hot matmul moves them exactly)
-    # and becomes the per-group bank GATE: a post-sort group only runs the
-    # banks some member lane has pages in — bank-homogeneous groups skip
-    # nearly every other bank's slab + while-loop.
+    # per-bank count matrix rides the SAME permutation (the same gather —
+    # bits verbatim) and becomes the per-group bank GATE: a post-sort
+    # group only runs the banks some member lane has pages in —
+    # bank-homogeneous groups skip nearly every other bank's slab +
+    # while-loop.
     bankcnt = None
     if nb > 1:
         C = jnp.concatenate(crows, axis=1)           # [nb, RB]
-        bankcnt = jax.lax.dot_general(
-            C.astype(BF16), M, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32)              # [nb, RB] permuted
+        if use_gather:
+            bankcnt = _gather_lanes(C, srcidx, RB)   # [nb, RB] permuted
+        else:
+            bankcnt = jax.lax.dot_general(
+                C.astype(BF16), M, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32)
     dst[:] = jnp.zeros_like(dst)
     for g in range(RB // GROUP):
         sl = slice(g * GROUP, (g + 1) * GROUP)
@@ -299,7 +314,7 @@ def _sort_scratch_build(klt_s, subf_s, RB: int, sort_lanes: bool):
 def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
             plts_ref, out_ref, sout, sgate, klt_s, subf_s, *,
             page_size: int, ray_chunk: int, exclude_id: bool, any_hit: bool,
-            sort_lanes: bool, nb: int):
+            sort_lanes: bool, nb: int, permute_gather=None):
     P = page_size
     RB = ray_chunk
     row = jax.lax.rem(pl.program_id(0), 8)
@@ -317,7 +332,8 @@ def _kernel(flags_ref, o_ref, d_ref, a_ref, excl_ref, ab_ref, plt_ref,
                             sout if sort_lanes else out_ref, P, RB, any_hit,
                             sort_lanes, nb, sgate,
                             klt_s[:] if sort_lanes else None,
-                            subf_s[:] if sort_lanes else None)
+                            subf_s[:] if sort_lanes else None,
+                            permute_gather=permute_gather)
         if sort_lanes:
             # inverse permutation puts winner rows back in lane order:
             # out[l] = sorted[dest[l]] — a tile-blocked gather (bits
@@ -329,7 +345,7 @@ def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
                   plts_ref, out_ref, sout, sshd, sgate, klt_s, subf_s, *,
                   page_size: int, ray_chunk: int, fixed_rng: bool,
                   weight_cutoff: float, sort_lanes: bool, nb: int,
-                  has_lights: bool):
+                  has_lights: bool, permute_gather=None):
     """Fused trace + shade: one grid step traces a chunk's rays AND applies
     the wave's shading/scatter/state update while the winner rows are still
     in VMEM.  The separate shade kernel costs ~5 ms/wave in block DMA alone
@@ -366,7 +382,8 @@ def _kernel_fused(flags_ref, seed_ref, light_ref, st_ref, ab_ref, plt_ref,
                             st[7:8], None, sout, P, RB, False, sort_lanes,
                             nb, sgate,
                             klt_s[:] if sort_lanes else None,
-                            subf_s[:] if sort_lanes else None)
+                            subf_s[:] if sort_lanes else None,
+                            permute_gather=permute_gather)
         rows = _gather_lanes(sout[:], dest, RB) if sort_lanes else sout[:]
         rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid, RB,
                                    fixed_rng)
@@ -673,11 +690,13 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
                                              "interpret", "any_hit",
-                                             "sort_lanes"))
+                                             "sort_lanes",
+                                             "permute_gather"))
 def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
                          ray_chunk: int, chunk_live=None,
                          interpret: bool = False, excl=None,
-                         any_hit: bool = False, sort_lanes=None):
+                         any_hit: bool = False, sort_lanes=None,
+                         permute_gather=None):
     """Per-lane nearest hit + winner state.  Same output contract as
     trace_chunks_pallas: OUT [16, R] (rows ROW_*).
 
@@ -753,7 +772,8 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
     out = pl.pallas_call(
         functools.partial(_kernel, page_size=page_size, ray_chunk=RB,
                           exclude_id=exclude_id, any_hit=any_hit,
-                          sort_lanes=sort_lanes, nb=NB),
+                          sort_lanes=sort_lanes, nb=NB,
+                          permute_gather=permute_gather),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,
@@ -763,12 +783,14 @@ def trace_perlane_pallas(OT, DT, alive, plt_i, plt_s, ab, page_size: int,
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
                                              "fixed_rng", "weight_cutoff",
-                                             "interpret", "sort_lanes"))
+                                             "interpret", "sort_lanes",
+                                             "permute_gather"))
 def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
                                page_size: int, ray_chunk: int,
                                fixed_rng: bool, weight_cutoff: float,
                                chunk_live=None, interpret: bool = False,
-                               sort_lanes=None, light=None, grid_live=None):
+                               sort_lanes=None, light=None, grid_live=None,
+                               permute_gather=None):
     """One bounce wave = trace + shade + state update, fused per chunk.
 
     state: [16, R] (ops.compact layout; o rows 0..2, d rows 3..5, alive row
@@ -845,7 +867,8 @@ def trace_shade_perlane_pallas(state, plt_i, plt_s, ab, seed,
         functools.partial(_kernel_fused, page_size=page_size, ray_chunk=RB,
                           fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
                           sort_lanes=sort_lanes, nb=NB,
-                          has_lights=has_lights),
+                          has_lights=has_lights,
+                          permute_gather=permute_gather),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((STATE_ROWS, R), F32)],
         # the state input aliases the output so tail blocks a dynamic grid
