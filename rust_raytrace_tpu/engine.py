@@ -789,7 +789,11 @@ class Engine(RayCaster):
         # kernel (slower but HBM-streaming: correct at any scene scale).
         from .ops.intersect_perlane import GROUP as _G, MAX_BANKS as _MB
         slots = self.pages.num_pages * self.pages.page_size
-        if self.pages.num_pages <= _MB * _G and slots <= 131072:
+        # Slot cap: tables cost ~96 B/slot; at 262144 slots (~25 MB) they
+        # fit the 64 MiB per-compile scoped-VMEM limit with ~20 MB of sort
+        # scratch + block headroom.  (The old 131072 cap predates the AOT
+        # scoped-vmem raise, when the hard limit was XLA's default 16 MiB.)
+        if self.pages.num_pages <= _MB * _G and slots <= 262144:
             plt_i, plt_s, ab = build_perlane_tables(self.pages)
             self.plt_i = jnp.asarray(plt_i)
             self.plt_s = jnp.asarray(plt_s)
