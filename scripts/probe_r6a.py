@@ -45,6 +45,8 @@ def profile_one(tag, build, copts=None):
 
     scene, vp = build()
     eng = Engine(scene)
+    eng.render(vp, key=jax.random.PRNGKey(7))       # plan the schedule
+    eng._auto_schedule = False
     rb = eng.ray_chunk
     R0 = vp.height * vp.width
     R = -(-R0 // rb) * rb
