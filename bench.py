@@ -55,7 +55,10 @@ def main():
         extras["backend"] = "engine(pallas,compact)"
         page_size, rb = 56, 1024
         eng = Engine(scene, page_size=page_size, ray_chunk=rb)
-        eng.render(vp, key=jax.random.PRNGKey(0))     # warmup/compile
+        eng.render(vp, key=jax.random.PRNGKey(0))     # compile + plan
+        eng._auto_schedule = False
+        eng.render(vp, key=jax.random.PRNGKey(0))     # compile the planned
+                                                      # schedule pre-timing
 
         # --- latency: one full render incl. the 11 MB image d2h
         times = []

@@ -192,7 +192,9 @@ def cmd_tune(args):
         if (ps, rc) not in runtimes:
             print(f"Running iteration page_size={ps} ray_chunk={rc}")
             eng = Engine(scene, page_size=ps, ray_chunk=rc)
-            eng.render(vp)  # compile
+            eng.render(vp)  # compile + plan the boundary schedule
+            eng._auto_schedule = False
+            eng.render(vp)  # re-compile against the planned schedule
             t0 = time.perf_counter()
             eng.render(vp, key=jax.random.PRNGKey(1))
             runtimes[(ps, rc)] = time.perf_counter() - t0

@@ -138,7 +138,8 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                 page_size=engine.page_size, fixed_rng=fixed_rng,
                 interpret=interpret, want_primary=False, quantize=True,
                 weight_cutoff=wc, plt_i=engine.plt_i, plt_s=engine.plt_s,
-                ab_tab=engine.ab_tab)
+                ab_tab=engine.ab_tab, ncompact=engine.ncompact,
+                gate_frac=engine.gate_frac)
         else:
             img, wave_counts, _ = _render_device(
                 st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
