@@ -188,33 +188,27 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     #    while-loops degenerate to empty for every other bank (without
     #    this, a mixed group pays every bank's max step count: multi_2k
     #    measured 2.97x teapot per-ray before, scripts/probe_r3c).
-    cnts = []
-    pbs = []
-    crows = []      # per-group [nb, 128] fine per-bank counts (nb > 1)
-    for g in range(RB // GROUP):
-        sl = slice(g * GROUP, (g + 1) * GROUP)
-        tot = None
-        empty_so_far = None
-        pb = None
-        cbank = []
-        for b in range(nb):
-            ab_b = ab[b * GROUP:(b + 1) * GROUP]
-            tlo, thi, page_ok = _slab(ab_b, o_v[:, sl], d_v[:, sl])
-            ent = (tlo <= thi) & (thi >= 0.0) & page_ok
-            c = jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
-                        axis=0, keepdims=True)
-            tot = c if tot is None else tot + c
-            if nb > 1:
-                cbank.append(c)
-                empty_b = (c == 0.0).astype(F32)
-                empty_so_far = empty_b if empty_so_far is None \
-                    else empty_so_far * empty_b
-                pb = empty_so_far if pb is None else pb + empty_so_far
-        cnts.append(tot)
+    # (whole-chunk [128, RB] slab broadcasts instead of per-group
+    # [128, 128] tiles: identical flops, 8x fewer op instances for
+    # Mosaic to schedule)
+    cnt = None
+    pball = None
+    empty_so_far = None
+    cbank = []      # per-bank [1, RB] fine counts (nb > 1)
+    for b in range(nb):
+        ab_b = ab[b * GROUP:(b + 1) * GROUP]
+        tlo, thi, page_ok = _slab(ab_b, o_v, d_v)    # [128, RB]
+        ent = (tlo <= thi) & (thi >= 0.0) & page_ok
+        c = jnp.sum(jnp.where(ent, F32(1.0), F32(0.0)),
+                    axis=0, keepdims=True)           # [1, RB]
+        cnt = c if cnt is None else cnt + c
         if nb > 1:
-            pbs.append(pb)
-            crows.append(jnp.concatenate(cbank, axis=0))
-    cnt = jnp.concatenate(cnts, axis=1)              # [1, RB]
+            cbank.append(c)
+            empty_b = (c == 0.0).astype(F32)
+            empty_so_far = empty_b if empty_so_far is None \
+                else empty_so_far * empty_b
+            pball = empty_so_far if pball is None \
+                else pball + empty_so_far
     alive_row = a_v[0:1, :]
     cnt_eff = jnp.where(alive_row != 0.0, cnt, F32(1e9))  # gaps last
 
@@ -225,7 +219,8 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     for thr in SORT_THRESH:
         qsum = qsum + jnp.where(cnt_eff > F32(thr), F32(1.0), F32(0.0))
     if nb > 1:
-        pball = jnp.concatenate(pbs, axis=1)         # [1, RB] leading-empty
+        # pball [1, RB]: each lane's leading-empty-bank count = its
+        # primary bank index (computed in the slab pass above)
         pb_eff = jnp.where(alive_row != 0.0, pball, F32(nb))
         qsum = jnp.minimum(pb_eff, F32(nb)) * F32(nbk) + qsum
         nbk = (nb + 1) * nbk
@@ -279,7 +274,7 @@ def _trace_chunk(plt, plts, sub_p, ab, o_v, d_v, a_v, excl_v, dst, P,
     # while-loop.
     bankcnt = None
     if nb > 1:
-        C = jnp.concatenate(crows, axis=1)           # [nb, RB]
+        C = jnp.concatenate(cbank, axis=0)           # [nb, RB]
         if use_gather:
             bankcnt = _gather_lanes(C, srcidx, RB)   # [nb, RB] permuted
         else:
