@@ -990,8 +990,12 @@ class Engine(RayCaster):
                 and jax.default_backend() == "tpu":
             # Autotune the compaction-boundary schedule from this render's
             # measured wave decay (one recompile on the next render; any
-            # schedule is bit-exact, so only performance changes).
+            # schedule is bit-exact, so only performance changes).  ONE
+            # SHOT: wave decay is RNG-jittered, so replanning every render
+            # could flip a near-threshold boundary back and forth and
+            # recompile each time.
             planned = plan_boundaries(wave_counts.tolist())
+            self._auto_schedule = False
             if planned != self.ncompact:
                 self.ncompact = planned
         seconds = time.perf_counter() - t0

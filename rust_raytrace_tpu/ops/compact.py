@@ -196,8 +196,12 @@ def _gather_lanes(vals, idx_f, cb: int):
     matmul), so this is bit-exact for ARBITRARY f32 including denormals,
     +-inf and NaN — the preferred form for any gather-shaped permutation
     (the inverse/expansion direction, where each output lane KNOWS its
-    source index).  The scatter-shaped forward direction still needs the
-    byte-split one-hot matmul (_permute)."""
+    source index).  A scatter-shaped forward move can be converted to
+    this form by recovering its source-index map with one tiny matmul
+    (_src_index_from_onehot); whether that beats the byte-split one-hot
+    matmul (_permute) is a VPU-vs-MXU balance question — see
+    ops/intersect_perlane (gather iff multi-bank, measured) and the
+    compact kernel (always gather)."""
     T = cb // 128
     idx_i = idx_f.astype(jnp.int32)                   # [1, cb]
     outs = []
