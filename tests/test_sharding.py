@@ -64,10 +64,15 @@ def test_engine_sharded_bitexact(scene, vp):
     independent of chunk grouping, compaction is a reversed permutation, and
     under fixed_rng the per-chip key fold is inert — so sharding over 8
     devices must change nothing.  The multi-chip analog of the reference's
-    differential methodology (debug.rs:150-222)."""
+    differential methodology (debug.rs:150-222).  The engine carries an
+    explicit skip-then-compact tuple schedule (the planner's shape) so the
+    sharded path's schedule plumbing is exercised; the unsharded comparator
+    runs a DIFFERENT schedule (all boundaries), which must not matter —
+    every schedule is the same permutation, reversed."""
     from rust_raytrace_tpu.engine import _render_device_compact
 
-    eng = Engine(scene, page_size=64, ray_chunk=128, interpret=True)
+    eng = Engine(scene, page_size=64, ray_chunk=128, interpret=True,
+                 ncompact=(True, False, True, False))
     mesh = make_mesh(8)
     RB = eng.ray_chunk
     R0 = vp.height * vp.width
