@@ -308,19 +308,6 @@ def _untile(ref3d, n: int):
     return jnp.concatenate([ref3d[:, t, :] for t in range(n)], axis=1)
 
 
-def _seg_write(src_ref, dst3, off, case, sem, max_case: int):
-    """DMA src_ref[:, :case, :] -> dst3[:, off/128 : off/128+case, :]."""
-    off_t = off // ALIGN
-    for k in range(1, max_case + 1):
-        @pl.when(case == k)
-        def _(k=k):
-            cp = pltpu.make_async_copy(
-                src_ref.at[:, 0:k, :],
-                dst3.at[:, pl.ds(off_t, k), :], sem)
-            cp.start()
-            cp.wait()
-
-
 def _seg_read(src3, off, case, dst_ref, sem, max_case: int):
     """DMA src3[:, off/128 : off/128+case, :] -> dst_ref[:, :case, :]."""
     off_t = off // ALIGN
@@ -346,10 +333,27 @@ def _build_iota_scratch(klt_s, sub_s, cb: int):
 
 
 def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
-                    ca, cd, sem_a, sem_d, klt_s, sub_s, *, cb: int):
+                    ca, cd, sem_a, sem_d, klt_s, sub_s, pend, *, cb: int):
     """Forward pass, grid (NC,): compact chunk i's survivors to the global
     survivor prefix and harvest its retired rays into the dead array.
-    zeros_in/dead_in are the aliased input views of the two outputs."""
+    zeros_in/dead_in are the aliased input views of the two outputs.
+
+    Segment writes are PIPELINED across grid steps: each chunk STARTS its
+    DMAs and returns; the next chunk that needs the scratch buffer waits
+    for the in-flight copy right before refilling it (after its own
+    rank/gather compute, so the copy latency overlaps that compute), and
+    the last grid step drains both streams.  The pending copy's (case,
+    off) ride an SMEM scratch so the wait can recreate the exact
+    descriptor — a DMA wait must match the copy it waits for, and the
+    previous issuer can be any earlier chunk (skipped chunks issue
+    nothing).  The synchronous form measured ~0.8 us/chunk at 12k+ chunks
+    on the first boundary (compact 12.9 ms of the 104 ms teapot_2k
+    program).
+
+    Full chunks short-circuit the permutation machinery: a chunk whose
+    lanes are ALL alive (interior object tiles) or ALL dead (sky tiles —
+    over half of teapot_2k's boundary-0 chunks) has the identity
+    permutation, so the block moves without ranks/one-hot/gather."""
     del zeros_in, dead_in
     pid = pl.program_id(0)
     row = jax.lax.rem(pid, 8)
@@ -360,57 +364,121 @@ def _kernel_compact(meta_ref, st_ref, zeros_in, dead_in, out_hbm, dead_hbm,
     case_d = meta_ref[row, M_CASE_D]
     off_d = meta_ref[row, M_OFF_D]
     ident = meta_ref[row, M_IDENT]
+    CBT = cb // ALIGN
 
     _build_iota_scratch(klt_s, sub_s, cb)
+
+    @pl.when(pid == 0)
+    def _init_pend():
+        pend[0, 0] = 0                                   # pending case (a)
+        pend[0, 2] = 0                                   # pending case (d)
+
+    def wait_a():
+        for k in range(1, CBT + 1):
+            @pl.when(pend[0, 0] == k)
+            def _(k=k):
+                pltpu.make_async_copy(
+                    ca.at[:, 0:k, :],
+                    out_hbm.at[:, pl.ds(pend[0, 1], k), :], sem_a).wait()
+        pend[0, 0] = 0
+
+    def wait_d():
+        for k in range(1, CBT + 1):
+            @pl.when(pend[0, 2] == k)
+            def _(k=k):
+                pltpu.make_async_copy(
+                    cd.at[:, 0:k, :],
+                    dead_hbm.at[:, pl.ds(pend[0, 3], k), :], sem_d).wait()
+        pend[0, 2] = 0
+
+    def start_a(off, case):
+        _seg_start(ca, out_hbm, off, case, sem_a, CBT)
+        pend[0, 0] = case
+        pend[0, 1] = off // ALIGN
+
+    def start_d(off, case):
+        _seg_start(cd, dead_hbm, off, case, sem_d, CBT)
+        pend[0, 2] = case
+        pend[0, 3] = off // ALIGN
 
     @pl.when((ident != 0) & (cnt_a + cnt_d > 0))
     def _identity():
         # overflow wave: pass the chunk through unpermuted, harvest nothing
         # (the cumulative dead row keeps retired rays safe for a later wave)
-        _tiles(ca, st_ref[:], cb // ALIGN)
-        _seg_write(ca, out_hbm, pid * cb, cb // ALIGN, sem_a, cb // ALIGN)
+        wait_a()
+        _tiles(ca, st_ref[:], CBT)
+        start_a(pid * cb, jnp.int32(CBT))
 
     @pl.when((ident == 0) & (cnt_a + cnt_d > 0))
     def _busy():
-        st = st_ref[:]                                   # [16, CB]
-        alive_f = (st[ROW_ALIVE:ROW_ALIVE + 1, :] != 0.0).astype(F32)
-        dead_f = (st[ROW_DEAD:ROW_DEAD + 1, :] != 0.0).astype(F32)
-        rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
+        full_a = cnt_a == cb                  # whole chunk survives
+        full_d = cnt_d == cb                  # whole chunk retired (sky)
 
-        # The forward permutation is scatter-shaped, but its SOURCE-INDEX
-        # map is recoverable with a tiny matmul (_src_index_from_onehot),
-        # then the payload rows move by a tile-blocked GATHER (bits
-        # verbatim) instead of byte-splitting every payload row through the
-        # MXU (was 48-96 bf16 planes per chunk).
-        lane_int = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
-
-        def src_index(rank, mask_f):
-            return _src_index_from_onehot(
-                _onehot(rank, mask_f, cb, sub_s[:]), cb)
-
-        @pl.when(cnt_a > 0)
-        def _alive():
-            # dst lanes >= cnt_a get zeros.  Only the 12 meaningful state
-            # rows move (spares 12..15 are never read after a compaction).
-            srcidx = src_index(rank_a, alive_f)
-            dst_live = lane_int < cnt_a
-            p12 = jnp.where(dst_live,
-                            _gather_lanes(st[0:ROW_CODE], srcidx, cb), 0.0)
+        @pl.when(full_a)
+        def _fast_alive():
+            wait_a()
             _tiles(ca, jnp.concatenate(
-                [p12, jnp.zeros((STATE_ROWS - ROW_CODE, cb), F32)], axis=0),
-                cb // ALIGN)
-            _seg_write(ca, out_hbm, off_a, case_a, sem_a, cb // ALIGN)
+                [st_ref[0:ROW_CODE],
+                 jnp.zeros((STATE_ROWS - ROW_CODE, cb), F32)], axis=0), CBT)
+            start_a(off_a, case_a)
 
-        @pl.when(cnt_d > 0)
-        def _dead():
-            # the dead array keeps only the 8-row payload (rows 8..15)
-            srcidx = src_index(rank_d, dead_f)
-            dst_live = lane_int < cnt_d
-            p8 = jnp.where(dst_live,
-                           _gather_lanes(st[ROW_ACC:ROW_ACC + 8], srcidx,
-                                         cb), 0.0)
-            _tiles(cd, p8, cb // ALIGN)
-            _seg_write(cd, dead_hbm, off_d, case_d, sem_d, cb // ALIGN)
+        @pl.when(full_d)
+        def _fast_dead():
+            wait_d()
+            _tiles(cd, st_ref[ROW_ACC:ROW_ACC + 8], CBT)
+            start_d(off_d, case_d)
+
+        @pl.when(jnp.logical_not(full_a | full_d))
+        def _partial():
+            st = st_ref[:]                               # [16, CB]
+            alive_f = (st[ROW_ALIVE:ROW_ALIVE + 1, :] != 0.0).astype(F32)
+            dead_f = (st[ROW_DEAD:ROW_DEAD + 1, :] != 0.0).astype(F32)
+            rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
+
+            # The forward permutation is scatter-shaped, but its SOURCE-
+            # INDEX map is recoverable with a tiny matmul
+            # (_src_index_from_onehot), then the payload rows move by a
+            # tile-blocked GATHER (bits verbatim) instead of byte-splitting
+            # every payload row through the MXU (was 48-96 bf16 planes per
+            # chunk).
+            lane_int = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+
+            def src_index(rank, mask_f):
+                return _src_index_from_onehot(
+                    _onehot(rank, mask_f, cb, sub_s[:]), cb)
+
+            @pl.when(cnt_a > 0)
+            def _alive():
+                # dst lanes >= cnt_a get zeros.  Only the 12 meaningful
+                # state rows move (spares 12..15 are never read after a
+                # compaction).
+                srcidx = src_index(rank_a, alive_f)
+                dst_live = lane_int < cnt_a
+                p12 = jnp.where(
+                    dst_live, _gather_lanes(st[0:ROW_CODE], srcidx, cb),
+                    0.0)
+                wait_a()
+                _tiles(ca, jnp.concatenate(
+                    [p12, jnp.zeros((STATE_ROWS - ROW_CODE, cb), F32)],
+                    axis=0), CBT)
+                start_a(off_a, case_a)
+
+            @pl.when(cnt_d > 0)
+            def _dead():
+                # the dead array keeps only the 8-row payload (rows 8..15)
+                srcidx = src_index(rank_d, dead_f)
+                dst_live = lane_int < cnt_d
+                p8 = jnp.where(
+                    dst_live,
+                    _gather_lanes(st[ROW_ACC:ROW_ACC + 8], srcidx, cb), 0.0)
+                wait_d()
+                _tiles(cd, p8, CBT)
+                start_d(off_d, case_d)
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _drain():
+        wait_a()
+        wait_d()
 
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))
@@ -463,6 +531,7 @@ def compact_pallas(state, dead_arr, meta, cb: int = DEFAULT_CB,
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((cb, cb), BF16),
             pltpu.VMEM((cb, cb), F32),
+            pltpu.SMEM((1, 8), jnp.int32),   # pending-DMA (case, off) x 2
         ],
     )
 
@@ -509,37 +578,62 @@ def _kernel_expand(meta_ref, masks_ref, y_hbm, dead_hbm, out_ref, sa, sd,
 
     @pl.when((ident == 0) & (cnt_a + cnt_d > 0))
     def _busy():
-        alive_f = (masks_ref[0:1, :] != 0.0).astype(F32)
-        dead_f = (masks_ref[1:2, :] != 0.0).astype(F32)
-        rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
-
-        # No scratch zero-fill needed: the gather form below moves bits
-        # verbatim (no arithmetic touches unread lanes) and the jnp.where
-        # selects mask every lane whose gather landed past its segment —
-        # uninitialized-scratch lanes are never observed.  (The old one-hot
-        # MXU path NEEDED zeros: 0 * inf leaked NaN through accumulation.)
-
+        ntile = cb // ALIGN
+        # START both segment reads first so their latency overlaps the
+        # rank matmul below (the synchronous read-then-compute form paid
+        # the DMA round trip serially every chunk)
         @pl.when(cnt_a > 0)
         def _ra():
-            _seg_read(y_hbm, off_a, case_a, sa, sem_a, cb // ALIGN)
+            _seg_read_start(y_hbm, off_a, case_a, sa, sem_a, ntile)
 
         @pl.when(cnt_d > 0)
         def _rd():
-            _seg_read(dead_hbm, off_d, case_d, sd, sem_d, cb // ALIGN)
+            _seg_read_start(dead_hbm, off_d, case_d, sd, sem_d, ntile)
 
-        # Expansion is GATHER-shaped: rank_a/rank_d[lane] is each lane's
-        # source index in its segment, so the inverse permutation is a
-        # tile-blocked lane gather — no one-hot build, no byte matmuls,
-        # bits verbatim (_gather_lanes).
-        ntile = cb // ALIGN
-        ga = _gather_lanes(_untile(sa, ntile), rank_a, cb)
-        gd = _gather_lanes(_untile(sd, ntile), rank_d, cb)
-        # gap lanes (neither alive nor dead) read zero — the one-hot form
-        # zeroed them via its mask; the gather form selects explicitly
-        out = jnp.where(jnp.broadcast_to(alive_f != 0.0, ga.shape), ga,
-                        jnp.where(jnp.broadcast_to(dead_f != 0.0, gd.shape),
-                                  gd, 0.0))
-        out_ref[:] = out
+        full_a = cnt_a == cb
+        full_d = cnt_d == cb
+
+        @pl.when(full_a)
+        def _fast_alive():
+            # every lane alive: rank == lane, the segment IS the chunk
+            _seg_read_wait(y_hbm, off_a, case_a, sa, sem_a, ntile, cnt_a)
+            out_ref[:] = _untile(sa, ntile)
+
+        @pl.when(full_d)
+        def _fast_dead():
+            _seg_read_wait(dead_hbm, off_d, case_d, sd, sem_d, ntile, cnt_d)
+            out_ref[:] = _untile(sd, ntile)
+
+        @pl.when(jnp.logical_not(full_a | full_d))
+        def _partial():
+            alive_f = (masks_ref[0:1, :] != 0.0).astype(F32)
+            dead_f = (masks_ref[1:2, :] != 0.0).astype(F32)
+            rank_a, rank_d = _ranks(alive_f, dead_f, cb, klt_s[:])
+            _seg_read_wait(y_hbm, off_a, case_a, sa, sem_a, ntile, cnt_a)
+            _seg_read_wait(dead_hbm, off_d, case_d, sd, sem_d, ntile,
+                           cnt_d)
+
+            # No scratch zero-fill needed: the gather form below moves
+            # bits verbatim (no arithmetic touches unread lanes) and the
+            # jnp.where selects mask every lane whose gather landed past
+            # its segment — uninitialized-scratch lanes are never
+            # observed.  (The old one-hot MXU path NEEDED zeros: 0 * inf
+            # leaked NaN through accumulation.)
+            #
+            # Expansion is GATHER-shaped: rank_a/rank_d[lane] is each
+            # lane's source index in its segment, so the inverse
+            # permutation is a tile-blocked lane gather — no one-hot
+            # build, no byte matmuls, bits verbatim (_gather_lanes).
+            ga = _gather_lanes(_untile(sa, ntile), rank_a, cb)
+            gd = _gather_lanes(_untile(sd, ntile), rank_d, cb)
+            # gap lanes (neither alive nor dead) read zero — the one-hot
+            # form zeroed them via its mask; the gather form selects
+            # explicitly
+            out = jnp.where(
+                jnp.broadcast_to(alive_f != 0.0, ga.shape), ga,
+                jnp.where(jnp.broadcast_to(dead_f != 0.0, gd.shape),
+                          gd, 0.0))
+            out_ref[:] = out
 
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))

@@ -123,6 +123,66 @@ def test_empty_and_full_chunks():
     np.testing.assert_array_equal(np.asarray(new_dead), exp_dead)
 
 
+def test_pipelined_dma_long_grid():
+    """The compact kernel pipelines its segment writes across grid steps
+    (the wait for an in-flight copy happens at the NEXT chunk that reuses
+    the scratch buffer, possibly many steps later when chunks in between
+    issue nothing).  Exercise every hand-off pattern over a long grid:
+    mixed -> sky(all dead) -> interior(all alive) -> gap(nothing) ->
+    mixed -> ... in randomized order, plus the final-step drain."""
+    cb = 256
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        NC = 24
+        R = cb * NC
+        st = np.zeros((C.STATE_ROWS, R), dtype=F32)
+        bits = rng.integers(0, 2**32, size=(C.STATE_ROWS, R),
+                            dtype=np.uint32)
+        vals = bits.view(np.float32)
+        vals[~np.isfinite(vals)] = 0.5
+        st[:] = vals
+        alive = np.zeros(R, bool)
+        dead = np.zeros(R, bool)
+        cls = rng.permutation(np.arange(NC) % 4)   # all 4 classes, shuffled
+        for c in range(NC):
+            sl = slice(c * cb, (c + 1) * cb)
+            if cls[c] == 0:                        # sky: all dead
+                dead[sl] = True
+            elif cls[c] == 1:                      # interior: all alive
+                alive[sl] = True
+            elif cls[c] == 2:                      # gap: nothing
+                pass
+            else:                                  # mixed
+                u = rng.random(cb)
+                alive[sl] = u < 0.4
+                dead[sl] = (u >= 0.4) & (u < 0.7)
+        st[C.ROW_ALIVE] = alive.astype(F32)
+        st[C.ROW_DEAD] = dead.astype(F32)
+        st[:, ~(alive | dead)] = 0.0
+
+        dead_arr = np.zeros((8, C.dead_capacity(R)), dtype=F32)
+        exp_state, exp_dead, exp_meta, *_ = C.compact_oracle(
+            st, dead_arr, cb, 0)
+        meta, *_ = C.compact_meta(jnp.asarray(st[C.ROW_ALIVE]),
+                                  jnp.asarray(st[C.ROW_DEAD]), cb,
+                                  jnp.int32(0), R)
+        np.testing.assert_array_equal(np.asarray(meta), exp_meta)
+        new_state, new_dead = C.compact_pallas(
+            jnp.asarray(st), jnp.asarray(dead_arr), meta, cb=cb,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(new_state), exp_state)
+        np.testing.assert_array_equal(np.asarray(new_dead), exp_dead)
+
+        # inverse: full/dead/gap/mixed chunks all reassemble bit-exactly
+        y = np.asarray(new_state)[C.ROW_ACC:C.ROW_ACC + 8]
+        masks = jnp.asarray(np.stack([st[C.ROW_ALIVE], st[C.ROW_DEAD]]))
+        out = np.asarray(C.expand_pallas(
+            jnp.asarray(y), new_dead, masks, meta, cb=cb, interpret=True))
+        exp = C.expand_oracle(y, np.asarray(new_dead), st[C.ROW_ALIVE],
+                              st[C.ROW_DEAD], np.asarray(meta), cb)
+        np.testing.assert_array_equal(out, exp)
+
+
 def make_state_buckets(rng, R, alive_p=0.4, dead_p=0.3, n_oct=2):
     """n_oct limits the octant spread: 128-alignment per (chunk, bucket)
     means small test arrays overflow with all 8 octants present (the engine
