@@ -51,6 +51,14 @@ def build_scene(args):
         if args.scene != "teapot":
             raise SystemExit("--lights is wired for the teapot scene")
         kwargs["with_light"] = True
+    if getattr(args, "obj", None):
+        if args.scene not in ("obj", "teapot"):
+            raise SystemExit("--obj applies to the 'obj' (or teapot) scene")
+        kwargs["obj_path"] = args.obj
+        if args.scene == "obj":
+            kwargs["scale"] = args.obj_scale
+    elif args.scene == "obj":
+        raise SystemExit("the 'obj' scene needs --obj PATH")
     return build(**kwargs)
 
 
@@ -142,6 +150,11 @@ def cmd_render(args):
         golden = png.read_png(args.golden)
         r = png.rmse(png.quantize_u8(result.image), golden)
         print(f"rmse vs {args.golden}: {r:.6f}")
+    if args.view:
+        # the reference's SDL results window (main.rs:229-270), headless:
+        # truecolor terminal blit, block for a key like the SDL event pump
+        from .utils.term_display import display_image
+        display_image(result.image, wait=args.view == "wait")
 
 
 def cmd_diff(args):
@@ -237,6 +250,10 @@ def main(argv=None):
         sp.add_argument("--ray-chunk", type=int, default=1024)
         sp.add_argument("--lights", action="store_true",
                         help="enable the shadow-ray light (teapot scene)")
+        sp.add_argument("--obj", help="path to a user .obj mesh "
+                                      "(--scene obj; auto-framed camera)")
+        sp.add_argument("--obj-scale", type=float, default=1.0,
+                        help="uniform scale applied to --obj vertices")
 
     sp = sub.add_parser("render", help="render a scene to PNG")
     common(sp)
@@ -250,6 +267,11 @@ def main(argv=None):
     sp.add_argument("--golden", help="golden PNG to compare against (rmse)")
     sp.add_argument("--f32", action="store_true",
                     help="keep a float framebuffer (no device quantization)")
+    sp.add_argument("--view", nargs="?", const="show", default=None,
+                    choices=["show", "wait"],
+                    help="display the result in the terminal (ANSI "
+                         "truecolor); 'wait' blocks for a key like the "
+                         "reference's SDL window")
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("diff", help="differential-compare two backends")

@@ -9,12 +9,15 @@ Each module exposes `build(...) -> (Scene, Viewport)`:
                no longer calls — scene parameters are this repo's own).
   - `multi`:   multi-object instanced scene (teapots + spheres + disks,
                reflective, multi-bounce) for the BASELINE "multi-object" config.
+  - `obj`:     any user .obj mesh with an auto-framed camera (the reference
+               can only render assets compiled into main.rs) — CLI `--obj`.
 """
 
-from . import teapot, circles, multi  # noqa: F401
+from . import teapot, circles, multi, objfile  # noqa: F401
 
 REGISTRY = {
     "teapot": teapot.build,
     "circles": circles.build,
     "multi": multi.build,
+    "obj": objfile.build,       # any user .obj via --obj PATH
 }

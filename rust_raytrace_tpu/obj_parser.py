@@ -56,7 +56,7 @@ def parse_obj(path: str, offset, scale: float, transform, surface: Surface,
     verts_t = m3.change_basis(vertices * F32(scale), transform) + offset
 
     idx = np.asarray([[c[0] - 1, c[1] - 1, c[2] - 1] for c, _ in faces],
-                     dtype=np.int64)
+                     dtype=np.int64).reshape(-1, 3)  # (0,3) when faceless
     points = verts_t[idx]  # [N,3,3]
     return make_triangles(points, surface, edge_thickness)
 
@@ -150,7 +150,7 @@ def parse_obj_with_mtl(path: str, offset, scale: float, transform,
             materials = parse_mtl(mtl_path)
 
     idx = np.asarray([[c[0] - 1, c[1] - 1, c[2] - 1] for c, _ in faces],
-                     dtype=np.int64)
+                     dtype=np.int64).reshape(-1, 3)  # (0,3) when faceless
     tris = make_triangles(verts_t[idx], default_surface, edge_thickness)
 
     if materials:

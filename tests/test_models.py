@@ -16,7 +16,7 @@ IDENT = (m3.vec(1, 0, 0), m3.vec(0, 1, 0), m3.vec(0, 0, 1))
 
 
 def test_registry_contents():
-    assert set(REGISTRY) == {"teapot", "circles", "multi"}
+    assert set(REGISTRY) == {"teapot", "circles", "multi", "obj"}
 
 
 def test_instance_transform_semantics():
@@ -51,3 +51,57 @@ def test_multi_scene_has_instances():
     scene, vp = multi.build(resolution=(8, 8), maxdepth=2)
     # spheres + disk always present; teapot instances when the asset exists
     assert scene.num_triangles > 700
+
+
+def test_obj_scene_auto_framing(tmp_path):
+    """Generic user-OBJ scene: mesh loads with MTL, camera auto-frames it
+    (the mesh is visible and fills a sane fraction of the image)."""
+    import os
+
+    from rust_raytrace_tpu.models import objfile
+
+    asset = os.path.join(os.path.dirname(__file__), "assets", "two_mats.obj")
+    scene, vp = objfile.build(resolution=(32, 32), maxdepth=2, obj_path=asset)
+    assert scene.num_triangles == 3   # 2 faces + the miss sentinel
+    img = oracle.render(scene.tris, vp, rng=oracle.FixedRng())
+    sky = m3.make_color((128, 180, 255))
+    non_sky = (~np.all(np.isclose(img, sky), axis=-1)).mean()
+    assert 0.02 < non_sky < 0.9          # visible, not wall-filling
+
+    # MTL honored: the red_matte face tints some pixels red-dominant
+    reds = img[..., 0] > img[..., 2] + 0.1
+    assert reds.any()
+
+    # deterministic framing
+    _, vp2 = objfile.build(resolution=(32, 32), maxdepth=2, obj_path=asset)
+    np.testing.assert_array_equal(vp.orig, vp2.orig)
+
+
+def test_obj_scene_requires_path_and_faces(tmp_path):
+    from rust_raytrace_tpu.models import objfile
+
+    with pytest.raises(ValueError, match="--obj"):
+        objfile.build(resolution=(8, 8))
+    empty = tmp_path / "empty.obj"
+    empty.write_text("v 0 0 0\n")
+    with pytest.raises(ValueError, match="no faces"):
+        objfile.build(resolution=(8, 8), obj_path=str(empty))
+
+
+def test_cli_obj_scene(tmp_path):
+    import os
+
+    from rust_raytrace_tpu.cli import main
+    from rust_raytrace_tpu.utils.png import read_png
+
+    asset = os.path.join(os.path.dirname(__file__), "assets", "two_mats.obj")
+    out = str(tmp_path / "o.png")
+    rc = main(["render", "--scene", "obj", "--obj", asset,
+               "--resolution", "16x16", "--backend", "oracle",
+               "--maxdepth", "2", "--out", out])
+    assert rc == 0
+    assert read_png(out).shape == (16, 16, 3)
+
+    with pytest.raises(SystemExit, match="--obj"):
+        main(["render", "--scene", "obj", "--resolution", "16x16",
+              "--backend", "oracle", "--out", out])
