@@ -88,14 +88,15 @@ def shard_rays(o, d, mesh: Mesh):
 
 def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                           maxdepth: int, interpret: bool = False,
-                          fixed_rng: bool = False, compact: bool = False):
+                          fixed_rng: bool = False, compact: bool = False,
+                          spp: int = 1):
     """The production engine's full multi-wave render, sharded over chips.
 
     o, d: [3, R] tile-order rays with R divisible by mesh size x ray_chunk.
     Each chip runs the complete culled wavefront pipeline (packet cull, trace
     megakernel, shading) on its ray shard — rays are independent, so the only
     collective is the psum of per-wave ray counters.  Returns
-    (img_u8 [3, R] sharded, wave_counts [maxdepth] global).
+    (img_u8 [3, R//spp] sharded, wave_counts [maxdepth] global).
 
     `compact` routes each shard through the compacted production pipeline
     (_render_device_compact: per-lane bounce traversal + wavefront
@@ -105,6 +106,15 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
     grouping; compaction is reversed on device) — tests/test_sharding.py and
     the driver dryrun assert this equality, the multi-chip analog of the
     reference's differential methodology (debug.rs:150-222).
+
+    Lights (fused shadow feelers) follow the engine's scene: when
+    `engine.scene.lights` is set, the light constants are replicated to every
+    chip and each shard runs the identical lights program (the reference's
+    shadow design, raytrace.rs:600-610, has no cross-ray coupling either).
+    `spp > 1` rides samples on adjacent lanes exactly like the single-chip
+    path; each shard box-filters its own sample groups, which never straddle
+    shards (tile_permutation emits a pixel's spp samples contiguously and
+    the per-shard ray count must be a multiple of spp — asserted).
 
     On a real multi-chip TPU this runs the Pallas kernel per chip; for
     virtual CPU meshes pass interpret=True.
@@ -116,16 +126,25 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
     assert R % (n * engine.ray_chunk) == 0
     if compact:
         assert (R // n) % 128 == 0, "per-shard rays must align to 128 lanes"
+    assert (R // n) % spp == 0, "sample groups must not straddle shards"
+
+    lights = engine.scene.lights
+    has_lights = lights is not None
+    largs = ()
+    if has_lights:
+        largs = (jnp.asarray(lights.orig, dtype=jnp.float32),
+                 jnp.asarray(lights.len2, dtype=jnp.float32))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, TILE_AXIS), P(None, TILE_AXIS),
-                  P(TILE_AXIS), P()),
+                  P(TILE_AXIS), P()) + (P(),) * len(largs),
         out_specs=(P(None, TILE_AXIS), P()),
         # pallas_call out_shapes carry no varying-mesh-axes metadata
         check_vma=False,
     )
-    def step(st, lo, hi, o_sh, d_sh, alive_sh, key_rep):
+    def step(st, lo, hi, o_sh, d_sh, alive_sh, key_rep, *lrest):
+        light_orig, light_len2 = lrest if has_lights else (None, None)
         # Decorrelated per-chip streams with live RNG; under fixed_rng the
         # scatter vectors are constants, so the fold_in is inert and the
         # sharded render stays bit-equal to the unsharded one.
@@ -137,8 +156,10 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                 maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
                 page_size=engine.page_size, fixed_rng=fixed_rng,
                 interpret=interpret, want_primary=False, quantize=True,
-                weight_cutoff=wc, plt_i=engine.plt_i, plt_s=engine.plt_s,
-                ab_tab=engine.ab_tab, ncompact=engine.ncompact,
+                has_lights=has_lights, light_orig=light_orig,
+                light_len2=light_len2, weight_cutoff=wc, plt_i=engine.plt_i,
+                plt_s=engine.plt_s, ab_tab=engine.ab_tab,
+                ncompact=engine.ncompact, spp=spp,
                 gate_frac=engine.gate_frac)
         else:
             img, wave_counts, _ = _render_device(
@@ -146,8 +167,9 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                 maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
                 page_size=engine.page_size, fixed_rng=fixed_rng,
                 interpret=interpret, want_primary=False, quantize=True,
-                spp=1, weight_cutoff=wc)
+                spp=spp, has_lights=has_lights, light_orig=light_orig,
+                light_len2=light_len2, weight_cutoff=wc)
         return img, jax.lax.psum(wave_counts, TILE_AXIS)
 
     return step(engine.tensors, engine.aabb_lo, engine.aabb_hi, o, d, alive,
-                key)
+                key, *largs)

@@ -158,3 +158,128 @@ def test_random_multibank_scene():
     scene = _rand_scene(rng, n_soup=2, spheres=[(22, 26)])
     vp = _rand_viewport(rng, (24, 16), maxdepth=3)
     _assert_contract(scene, vp, page_size=8, ray_chunk=128, min_banks=2)
+
+
+# --- round-10 soak contracts, pinned at fixed seeds (scripts/soak_r10.py
+# ran 45 disjoint seeds 700-744 through these; one representative seed per
+# contract is committed so the suite carries them, not just session logs) ---
+
+
+def test_random_spp_compact_equals_legacy():
+    """Random scene at spp>1: compacted pipeline (samples ride lanes,
+    on-device box filter) == legacy uncompacted pipeline BITWISE, on both
+    the float and the quantized framebuffers — generalizes
+    test_bitexact.test_spp4_compact_equals_legacy beyond the curated
+    circles scene."""
+    seed = 702
+    rng = np.random.default_rng(seed)
+    scene = _rand_scene(rng, n_soup=int(rng.integers(2, 4)),
+                        disks=[int(rng.integers(3, 8))] if seed % 2 else [])
+    samples = int(rng.choice([2, 4]))
+    px = (24, 16)
+    pos = rng.uniform(-0.4, 0.4, 3).astype(F32)
+    aim = m3.unit(np.asarray(
+        [rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25), 1.0],
+        dtype=F32))
+    vp = create_viewport(px, (1.5, 1.5 * px[1] / px[0]), pos, aim,
+                         float(rng.uniform(60.0, 100.0)),
+                         float(rng.uniform(-0.3, 0.3)),
+                         int(rng.integers(3, 5)), samples)
+    ps = int(rng.choice([16, 24, 40]))
+    e1 = Engine(scene, page_size=ps, ray_chunk=128, interpret=True,
+                compact=True, auto_pages=False)
+    e0 = Engine(scene, page_size=ps, ray_chunk=128, interpret=True,
+                compact=False, auto_pages=False)
+    np.testing.assert_array_equal(
+        e1.render(vp, fixed_rng=True, quantize=False).image,
+        e0.render(vp, fixed_rng=True, quantize=False).image)
+    np.testing.assert_array_equal(
+        e1.render(vp, fixed_rng=True, quantize=True).image,
+        e0.render(vp, fixed_rng=True, quantize=True).image)
+
+
+def test_random_sharded_schedule_bitexact():
+    """Random scene on the 8-virtual-device mesh with a RANDOM tuple
+    compaction schedule: sharded production engine == unsharded BITWISE
+    (image AND wave counts) — generalizes
+    test_sharding.test_engine_sharded_bitexact to random geometry and
+    random boundary schedules."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rust_raytrace_tpu.engine import (_camera_rays_tiled,
+                                          _render_device_compact)
+    from rust_raytrace_tpu.parallel.sharding import (engine_render_sharded,
+                                                     make_mesh)
+
+    seed = 700
+    rng = np.random.default_rng(seed)
+    scene = _rand_scene(rng, n_soup=int(rng.integers(2, 4)),
+                        spheres=[(6, 8)] if seed % 2 else [])
+    vp = _rand_viewport(rng, (32, 24), maxdepth=3)
+    schedule = tuple(bool(rng.integers(0, 2)) for _ in range(4))
+    if not any(schedule):
+        schedule = (True,) + schedule[1:]
+    eng = Engine(scene, page_size=int(rng.choice([16, 24])), ray_chunk=128,
+                 interpret=True, ncompact=schedule, auto_pages=False)
+    mesh = make_mesh(8)
+    RB = eng.ray_chunk
+    R0 = vp.height * vp.width
+    R = -(-R0 // (8 * RB)) * 8 * RB
+
+    o, d = _camera_rays_tiled(
+        jnp.asarray(vp.orig), jnp.asarray(vp.cam), jnp.asarray(vp.vu),
+        jnp.asarray(vp.vv), jax.random.PRNGKey(0), width=vp.width,
+        height=vp.height, spp=1, tile=16, n_pad=R)
+    alive = jnp.arange(R) < R0
+
+    img1, wc1, _, _ = _render_device_compact(
+        eng.tensors, eng.aabb_lo, eng.aabb_hi, o, d, alive,
+        jax.random.PRNGKey(0), maxdepth=vp.maxdepth, ray_chunk=RB,
+        page_size=eng.page_size, fixed_rng=True, interpret=True,
+        want_primary=False, quantize=True, weight_cutoff=0.0,
+        plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
+        ncompact=eng.ncompact)
+
+    sh = NamedSharding(mesh, P(None, "tiles"))
+    img8, wc8 = engine_render_sharded(
+        eng, jax.device_put(o, sh), jax.device_put(d, sh),
+        jax.device_put(alive, NamedSharding(mesh, P("tiles"))),
+        jax.random.PRNGKey(0), mesh, maxdepth=vp.maxdepth, interpret=True,
+        fixed_rng=True, compact=True)
+    np.testing.assert_array_equal(np.asarray(img8), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(wc8), np.asarray(wc1))
+
+
+def test_random_obj_roundtrip(tmp_path):
+    """Random mesh round-tripped through an .obj/.mtl ON DISK and the
+    generic user-OBJ scene builder: parsed corners equal the written
+    vertices BITWISE (f32 %.9g text round-trip), then the parsed scene
+    passes the full engine == xla == oracle differential contract."""
+    from rust_raytrace_tpu.models import objfile
+
+    seed = 701
+    rng = np.random.default_rng(seed)
+    n_tris = int(rng.integers(6, 30))
+    verts = (rng.uniform(-2, 2, (3 * n_tris, 3)).astype(F32)
+             + np.asarray([0, 0, 8], dtype=F32))
+    mtl_name = f"mesh_{seed}.mtl"
+    (tmp_path / mtl_name).write_text(
+        "newmtl red\nKd 0.8 0.1 0.1\nNs 10\n"
+        "newmtl mirror\nKd 0.9 0.9 0.9\nKs 1.0 1.0 1.0\nNs 900\n")
+    obj_path = tmp_path / f"mesh_{seed}.obj"
+    with open(obj_path, "w") as f:
+        f.write(f"mtllib {mtl_name}\n")
+        for v in verts:
+            f.write("v %.9g %.9g %.9g\n" % tuple(float(x) for x in v))
+        for i in range(n_tris):
+            f.write("usemtl %s\n" % ("red" if i % 2 else "mirror"))
+            f.write("f %d %d %d\n" % (3 * i + 1, 3 * i + 2, 3 * i + 3))
+
+    scene, vp = objfile.build(resolution=(24, 16), maxdepth=3,
+                              obj_path=str(obj_path))
+    assert scene.num_triangles == n_tris + 1  # + miss sentinel
+    np.testing.assert_array_equal(
+        scene.tris.corners[1:].reshape(-1, 3), verts)
+    _assert_contract(scene, vp, page_size=16, ray_chunk=128)

@@ -104,6 +104,105 @@ def test_engine_sharded_bitexact(scene, vp):
     np.testing.assert_array_equal(np.asarray(wc8), np.asarray(wc1))
 
 
+def test_engine_sharded_lights_bitexact(scene, vp):
+    """Sharded engine on a LIGHTS scene == unsharded BITWISE: the light
+    constants are replicated to every chip and the fused shadow feelers run
+    per shard (rays, incl. feelers, are independent).  Before round 3's
+    sharding extension the sharded path silently dropped the light."""
+    from rust_raytrace_tpu.engine import _render_device_compact
+    from rust_raytrace_tpu.scene import LightSource, assemble
+    from rust_raytrace_tpu.geometry import make_sphere
+    from rust_raytrace_tpu.materials import matte
+
+    lscene = assemble([make_sphere((0.0, 0.0, 6.0), 2.0, (8, 12),
+                                   matte(m3.make_color((252, 119, 0)), 0.2),
+                                   0.05)])
+    lscene.lights = LightSource(orig=np.asarray([0.0, 12.0, 4.0], dtype=F32),
+                                len2=0.25)
+    eng = Engine(lscene, page_size=64, ray_chunk=128, interpret=True)
+    mesh = make_mesh(8)
+    RB = eng.ray_chunk
+    R0 = vp.height * vp.width
+    R = -(-R0 // (8 * RB)) * 8 * RB
+
+    o, d = _camera_rays_tiled(
+        jnp.asarray(vp.orig), jnp.asarray(vp.cam), jnp.asarray(vp.vu),
+        jnp.asarray(vp.vv), jax.random.PRNGKey(0), width=vp.width,
+        height=vp.height, spp=1, tile=16, n_pad=R)
+    alive = jnp.arange(R) < R0
+
+    img1, wc1, _, _ = _render_device_compact(
+        eng.tensors, eng.aabb_lo, eng.aabb_hi, o, d, alive,
+        jax.random.PRNGKey(0), maxdepth=vp.maxdepth, ray_chunk=RB,
+        page_size=eng.page_size, fixed_rng=True, interpret=True,
+        want_primary=False, quantize=True, weight_cutoff=0.0,
+        has_lights=True,
+        light_orig=jnp.asarray(lscene.lights.orig, dtype=jnp.float32),
+        light_len2=jnp.asarray(lscene.lights.len2, dtype=jnp.float32),
+        plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
+        ncompact=eng.ncompact)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(None, "tiles"))
+    img8, wc8 = engine_render_sharded(
+        eng, jax.device_put(o, sh), jax.device_put(d, sh),
+        jax.device_put(alive, NamedSharding(mesh, P("tiles"))),
+        jax.random.PRNGKey(0), mesh, maxdepth=vp.maxdepth, interpret=True,
+        fixed_rng=True, compact=True)
+    # the light must actually darken something vs an unlit render — guard
+    # against a silently-dropped light making this test vacuous
+    eng_nolight = Engine(scene, page_size=64, ray_chunk=128, interpret=True)
+    img_nl, _, _, _ = _render_device_compact(
+        eng_nolight.tensors, eng_nolight.aabb_lo, eng_nolight.aabb_hi, o, d,
+        alive, jax.random.PRNGKey(0), maxdepth=vp.maxdepth, ray_chunk=RB,
+        page_size=eng_nolight.page_size, fixed_rng=True, interpret=True,
+        want_primary=False, quantize=True, weight_cutoff=0.0,
+        plt_i=eng_nolight.plt_i, plt_s=eng_nolight.plt_s,
+        ab_tab=eng_nolight.ab_tab, ncompact=eng_nolight.ncompact)
+    assert (np.asarray(img1) != np.asarray(img_nl)).any()
+    np.testing.assert_array_equal(np.asarray(img8), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(wc8), np.asarray(wc1))
+
+
+def test_engine_sharded_spp_bitexact(scene, vp):
+    """Sharded engine at spp=2 == unsharded BITWISE: sample groups ride
+    adjacent lanes and never straddle shards, so each shard's on-device box
+    filter reproduces the single-chip average exactly."""
+    from rust_raytrace_tpu.engine import _render_device_compact
+
+    spp = 2
+    eng = Engine(scene, page_size=64, ray_chunk=128, interpret=True)
+    mesh = make_mesh(8)
+    RB = eng.ray_chunk
+    R0 = vp.height * vp.width * spp
+    R = -(-R0 // (8 * RB)) * 8 * RB
+
+    o, d = _camera_rays_tiled(
+        jnp.asarray(vp.orig), jnp.asarray(vp.cam), jnp.asarray(vp.vu),
+        jnp.asarray(vp.vv), jax.random.PRNGKey(0), width=vp.width,
+        height=vp.height, spp=spp, tile=16, n_pad=R)
+    alive = jnp.arange(R) < R0
+
+    img1, wc1, _, _ = _render_device_compact(
+        eng.tensors, eng.aabb_lo, eng.aabb_hi, o, d, alive,
+        jax.random.PRNGKey(0), maxdepth=vp.maxdepth, ray_chunk=RB,
+        page_size=eng.page_size, fixed_rng=True, interpret=True,
+        want_primary=False, quantize=True, weight_cutoff=0.0,
+        plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
+        ncompact=eng.ncompact, spp=spp)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(None, "tiles"))
+    img8, wc8 = engine_render_sharded(
+        eng, jax.device_put(o, sh), jax.device_put(d, sh),
+        jax.device_put(alive, NamedSharding(mesh, P("tiles"))),
+        jax.random.PRNGKey(0), mesh, maxdepth=vp.maxdepth, interpret=True,
+        fixed_rng=True, compact=True, spp=spp)
+    assert np.asarray(img8).shape == (3, R // spp)
+    np.testing.assert_array_equal(np.asarray(img8), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(wc8), np.asarray(wc1))
+
+
 def test_engine_sharded_dryrun(scene, vp):
     """Full engine pipeline (cull + Pallas trace in interpret mode + shade)
     sharded over the 8-device mesh."""
