@@ -327,7 +327,7 @@ def _render_device(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0, key,
     img = accum
     if quantize:
         if spp > 1:
-            img = img.reshape(3, R // spp, spp).mean(axis=-1)
+            img = _box_filter(img, R, spp)
         x = jnp.nan_to_num(img * F32(255.0), nan=0.0, posinf=255.0,
                            neginf=0.0)
         img = jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(jnp.uint8)
@@ -338,6 +338,22 @@ def _quantize_u8(img):
     """PNG writer's exact `(c*255) as u8` semantics (raytrace.rs:1470-1472)."""
     x = jnp.nan_to_num(img * F32(255.0), nan=0.0, posinf=255.0, neginf=0.0)
     return jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(jnp.uint8)
+
+
+def _box_filter(img, R: int, spp: int):
+    """On-device box-filter sample average (raytrace.rs:1426) with an
+    EXPLICIT left-to-right add chain instead of a reduce: XLA's `reduce`
+    association order is implementation-defined and was observed to differ
+    between the compact and legacy programs (round-10 soak, seed 741 —
+    a pixel whose mean*255 lands exactly on a quantization boundary
+    flipped by 1 u8 step).  A fixed add chain makes the filter bit-equal
+    across programs AND matches np.mean's sequential order on the host
+    float path for spp <= 8."""
+    s = img.reshape(3, R // spp, spp)
+    acc = s[..., 0]
+    for i in range(1, spp):
+        acc = acc + s[..., i]
+    return acc / F32(spp)
 
 
 def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
@@ -653,7 +669,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             # samples ride adjacent lanes in tile order (tile_permutation),
             # so the fold is a reshape — the per-ray pipeline above is
             # sample-count agnostic (samples are just rays).
-            img = img.reshape(3, R // spp, spp).mean(axis=-1)
+            img = _box_filter(img, R, spp)
         img = _quantize_u8(img)
     return img, jnp.stack(wave_counts), primary, cull0
 
@@ -733,6 +749,27 @@ def auto_page_size(n_tris: int, page_size: int = 56) -> int:
     while cdiv(n_tris, page_size) > MAX_BANKS * GROUP:
         page_size += 8
     return page_size
+
+
+def _assemble_host_image(img_dev, v: Viewport, perm: np.ndarray, spp: int,
+                         quant: bool) -> np.ndarray:
+    """Un-permute a device framebuffer (tile order, [3, R] or [3, R//spp])
+    into the [height, width, 3] image — host numpy fancy indexing (~ms;
+    device gathers are 1000x slower on this platform)."""
+    if quant:
+        P0 = v.height * v.width
+        data = np.asarray(img_dev).T[:P0]            # [P0, 3] u8
+        pixperm = perm[::spp] // spp if spp > 1 else perm
+        img = np.empty((P0, 3), dtype=np.uint8)
+        img[pixperm] = data
+        return img.reshape(v.height, v.width, 3)
+    R0 = v.height * v.width * spp
+    data = np.asarray(img_dev, dtype=np.float32).T[:R0]
+    img = np.empty((R0, 3), dtype=np.float32)
+    img[perm] = data
+    if spp > 1:
+        return img.reshape(v.height, v.width, spp, 3).mean(axis=2)
+    return img.reshape(v.height, v.width, 3)
 
 
 class Engine(RayCaster):
@@ -942,21 +979,7 @@ class Engine(RayCaster):
         # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
         # 1000x slower on this platform).
         perm = self._perm(v, tile)
-        if quant:
-            P0 = v.height * v.width
-            data = np.asarray(img_dev).T[:P0]            # [P0, 3] u8
-            pixperm = perm[::spp] // spp if spp > 1 else perm
-            img = np.empty((P0, 3), dtype=np.uint8)
-            img[pixperm] = data
-            img = img.reshape(v.height, v.width, 3)
-        else:
-            data = np.asarray(img_dev, dtype=np.float32).T[:R0]
-            img = np.empty((R0, 3), dtype=np.float32)
-            img[perm] = data
-            if spp > 1:
-                img = img.reshape(v.height, v.width, spp, 3).mean(axis=2)
-            else:
-                img = img.reshape(v.height, v.width, 3)
+        img = _assemble_host_image(img_dev, v, perm, spp, quant)
 
         pt = pid = primary_chunk = chunk_tris = None
         if debug:
@@ -1004,6 +1027,77 @@ class Engine(RayCaster):
             wave_rays=wave_counts, primary_t=pt, primary_id=pid,
             seconds=seconds, primary_chunk=primary_chunk,
             chunk_tris=chunk_tris)
+        if progress is not None:
+            progress.update_wavefront(result)
+        return result
+
+    def render_sharded(self, v: Viewport, mesh=None,
+                       n_devices: Optional[int] = None,
+                       key: Optional[jax.Array] = None,
+                       fixed_rng: bool = False, progress=None,
+                       quantize: bool = True) -> RenderResult:
+        """Multi-chip render: the exact per-chip production program of
+        render(), data-parallel over an image-tile device mesh
+        (parallel/sharding.engine_render_sharded) — the TPU-native analog
+        of the reference's N-worker row queue (raytrace.rs:1181-1191).
+        Under `fixed_rng` the assembled image is BIT-EXACT equal to
+        render()'s (tests/test_sharding.py pins this); with live RNG each
+        chip folds its mesh position into the key for a decorrelated
+        stream.  Lights and spp>1 follow the scene/viewport exactly as in
+        render().  The `debug` buffers are not available sharded — use
+        render() for the differ surface.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+        from .parallel.sharding import (TILE_AXIS, engine_render_sharded,
+                                        make_mesh)
+
+        if mesh is None:
+            mesh = make_mesh(n_devices)
+        n = mesh.shape[TILE_AXIS]
+        key = key if key is not None else jax.random.PRNGKey(0)
+        RB = self.ray_chunk
+        spp = v.samples_per_pixel
+        t0 = time.perf_counter()
+
+        tile = pick_tile(v.width, v.height)
+        R0 = v.height * v.width * spp
+        # per-shard rays must cover whole chunks, meet the 128-lane DMA
+        # alignment, and hold whole sample groups
+        quantum = n * max(RB, 128)
+        if (quantum // n) % spp:
+            quantum *= spp
+        R = -(-R0 // quantum) * quantum
+
+        o, d = _camera_rays_tiled(
+            jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
+            jnp.asarray(v.vv), key, width=v.width, height=v.height, spp=spp,
+            tile=tile, n_pad=R)
+        pk0 = None
+        if self.pinhole_origin:
+            o = jnp.broadcast_to(jnp.asarray(v.cam)[:, None], o.shape)
+            cam_key = tuple(np.asarray(v.cam, dtype=np.float32).tolist())
+            if cam_key not in self._pk0_cache:
+                self._pk0_cache[cam_key] = fold_pages_origin(
+                    self.tensors.PK, jnp.asarray(v.cam, dtype=F32))
+            pk0 = self._pk0_cache[cam_key]
+        alive0 = jnp.arange(R) < R0
+
+        sh = NamedSharding(mesh, PartitionSpec(None, TILE_AXIS))
+        img_dev, wave_counts = engine_render_sharded(
+            self, jax.device_put(o, sh), jax.device_put(d, sh),
+            jax.device_put(alive0,
+                           NamedSharding(mesh, PartitionSpec(TILE_AXIS))),
+            key, mesh, maxdepth=v.maxdepth, interpret=self.interpret,
+            fixed_rng=fixed_rng, compact=self.compact and self.exact_cull,
+            spp=spp, pk0=pk0, quantize=quantize)
+
+        perm = self._perm(v, tile)
+        img = _assemble_host_image(img_dev, v, perm, spp, quantize)
+        wave_counts = np.asarray(wave_counts)
+        result = RenderResult(
+            image=img, rays_traced=int(wave_counts.sum()),
+            wave_rays=wave_counts, primary_t=None, primary_id=None,
+            seconds=time.perf_counter() - t0)
         if progress is not None:
             progress.update_wavefront(result)
         return result

@@ -89,7 +89,7 @@ def shard_rays(o, d, mesh: Mesh):
 def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                           maxdepth: int, interpret: bool = False,
                           fixed_rng: bool = False, compact: bool = False,
-                          spp: int = 1):
+                          spp: int = 1, pk0=None, quantize: bool = True):
     """The production engine's full multi-wave render, sharded over chips.
 
     o, d: [3, R] tile-order rays with R divisible by mesh size x ray_chunk.
@@ -134,17 +134,20 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
     if has_lights:
         largs = (jnp.asarray(lights.orig, dtype=jnp.float32),
                  jnp.asarray(lights.len2, dtype=jnp.float32))
+    has_pk0 = pk0 is not None
+    pargs = (pk0,) if has_pk0 else ()
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, TILE_AXIS), P(None, TILE_AXIS),
-                  P(TILE_AXIS), P()) + (P(),) * len(largs),
+                  P(TILE_AXIS), P()) + (P(),) * (len(largs) + len(pargs)),
         out_specs=(P(None, TILE_AXIS), P()),
         # pallas_call out_shapes carry no varying-mesh-axes metadata
         check_vma=False,
     )
-    def step(st, lo, hi, o_sh, d_sh, alive_sh, key_rep, *lrest):
-        light_orig, light_len2 = lrest if has_lights else (None, None)
+    def step(st, lo, hi, o_sh, d_sh, alive_sh, key_rep, *rest):
+        light_orig, light_len2 = rest[:2] if has_lights else (None, None)
+        pk0_sh = rest[-1] if has_pk0 else None
         # Decorrelated per-chip streams with live RNG; under fixed_rng the
         # scatter vectors are constants, so the fold_in is inert and the
         # sharded render stays bit-equal to the unsharded one.
@@ -155,10 +158,11 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                 st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
                 maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
                 page_size=engine.page_size, fixed_rng=fixed_rng,
-                interpret=interpret, want_primary=False, quantize=True,
+                interpret=interpret, want_primary=False, quantize=quantize,
                 has_lights=has_lights, light_orig=light_orig,
-                light_len2=light_len2, weight_cutoff=wc, plt_i=engine.plt_i,
-                plt_s=engine.plt_s, ab_tab=engine.ab_tab,
+                light_len2=light_len2, weight_cutoff=wc, pk0=pk0_sh,
+                nbuf=engine.nbuf, bounce_rb=engine.bounce_chunk,
+                plt_i=engine.plt_i, plt_s=engine.plt_s, ab_tab=engine.ab_tab,
                 ncompact=engine.ncompact, spp=spp,
                 gate_frac=engine.gate_frac)
         else:
@@ -166,10 +170,12 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                 st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
                 maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
                 page_size=engine.page_size, fixed_rng=fixed_rng,
-                interpret=interpret, want_primary=False, quantize=True,
+                interpret=interpret, want_primary=False, quantize=quantize,
                 spp=spp, has_lights=has_lights, light_orig=light_orig,
-                light_len2=light_len2, weight_cutoff=wc)
+                light_len2=light_len2, weight_cutoff=wc, pk0=pk0_sh,
+                bounce_chunk=engine.bounce_chunk, nbuf=engine.nbuf,
+                exact_cull=engine.exact_cull)
         return img, jax.lax.psum(wave_counts, TILE_AXIS)
 
     return step(engine.tensors, engine.aabb_lo, engine.aabb_hi, o, d, alive,
-                key, *largs)
+                key, *largs, *pargs)

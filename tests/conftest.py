@@ -46,3 +46,29 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+def _n_maps() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:          # pragma: no cover - non-Linux
+        return 0
+
+
+# Compiled executables (interpret-mode Pallas + shard_map programs) each
+# hold many mmap'd code regions; a full-suite run accumulates enough to
+# exhaust vm.max_map_count (65530 here), at which point LLVM aborts with
+# 'Cannot allocate memory' or segfaults inside a later compile (observed
+# mid-suite in the sharded-engine tests; same failure mode the soak
+# harnesses rate-limit — scripts/soak_r8.py).  Shed the executable caches
+# whenever the process's map count crosses a safety threshold; the rare
+# recompile afterwards is cheaper than a dead suite.
+_MAPS_LIMIT = 45_000
+
+
+@pytest.fixture(autouse=True)
+def _shed_jax_caches_near_map_limit():
+    yield
+    if _n_maps() > _MAPS_LIMIT:
+        jax.clear_caches()

@@ -165,13 +165,17 @@ def test_random_multibank_scene():
 # contract is committed so the suite carries them, not just session logs) ---
 
 
-def test_random_spp_compact_equals_legacy():
+@pytest.mark.parametrize("seed", [702, 741])
+def test_random_spp_compact_equals_legacy(seed):
     """Random scene at spp>1: compacted pipeline (samples ride lanes,
     on-device box filter) == legacy uncompacted pipeline BITWISE, on both
     the float and the quantized framebuffers — generalizes
     test_bitexact.test_spp4_compact_equals_legacy beyond the curated
-    circles scene."""
-    seed = 702
+    circles scene.  Seed 741 is the round-10 soak catch: its float
+    framebuffers matched but one pixel's box-filtered mean lands exactly
+    on a u8 quantization boundary, exposing XLA reduce-association
+    divergence between the two programs (fixed by _box_filter's explicit
+    add chain)."""
     rng = np.random.default_rng(seed)
     scene = _rand_scene(rng, n_soup=int(rng.integers(2, 4)),
                         disks=[int(rng.integers(3, 8))] if seed % 2 else [])

@@ -203,6 +203,34 @@ def test_engine_sharded_spp_bitexact(scene, vp):
     np.testing.assert_array_equal(np.asarray(wc8), np.asarray(wc1))
 
 
+def test_render_sharded_user_api(scene, vp):
+    """Engine.render_sharded (the user-facing multi-chip render) ==
+    Engine.render bit-exactly under fixed_rng: same viewport in, same
+    RenderResult image/wave counts out — no manual camera-ray plumbing."""
+    eng = Engine(scene, page_size=64, ray_chunk=128, interpret=True)
+    mesh = make_mesh(8)
+    r1 = eng.render(vp, fixed_rng=True)
+    r8 = eng.render_sharded(vp, mesh=mesh, fixed_rng=True)
+    assert r8.image.dtype == np.uint8
+    np.testing.assert_array_equal(r8.image, r1.image)
+    np.testing.assert_array_equal(r8.wave_rays, r1.wave_rays)
+    assert r8.rays_traced == r1.rays_traced
+
+
+def test_render_sharded_spp_float(scene):
+    """render_sharded at spp=2 with float output == render: the raw sample
+    buffer crosses shards and the host box filter reproduces the
+    single-chip average bitwise (same addends, same order)."""
+    vp2 = create_viewport((32, 32), (1.0, 1.0), (0.0, 0.0, 0.0),
+                          m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 3, 2)
+    eng = Engine(scene, page_size=64, ray_chunk=128, interpret=True)
+    r1 = eng.render(vp2, fixed_rng=True, quantize=False)
+    r8 = eng.render_sharded(vp2, mesh=make_mesh(8), fixed_rng=True,
+                            quantize=False)
+    assert r8.image.dtype == np.float32
+    np.testing.assert_array_equal(r8.image, r1.image)
+
+
 def test_engine_sharded_dryrun(scene, vp):
     """Full engine pipeline (cull + Pallas trace in interpret mode + shade)
     sharded over the 8-device mesh."""
