@@ -121,6 +121,13 @@ def run_render(backend_name, scene, vp, args, key_seed=0):
     kwargs = {}
     if backend_name == "engine":
         kwargs = dict(debug=args.debug_csv is not None, quantize=not args.f32)
+        if getattr(args, "band_rows", None):
+            if args.debug_csv is not None:
+                raise SystemExit("--debug-csv needs the full-image render "
+                                 "(banded renders carry no debug buffers)")
+            del kwargs["debug"]
+            return r.render_banded(vp, key=jax.random.PRNGKey(key_seed),
+                                   band_rows=args.band_rows, **kwargs)
     return r.render(vp, key=jax.random.PRNGKey(key_seed), **kwargs)
 
 
@@ -261,6 +268,10 @@ def main(argv=None):
                     choices=["engine", "simple", "xla", "pallas",
                              "pallas_interpret", "oracle"])
     sp.add_argument("--out", default="test.png")
+    sp.add_argument("--band-rows", type=int, default=0,
+                    help="render in horizontal bands of this many rows "
+                         "(engine backend; bounds device memory for huge "
+                         "resolutions — the reference's row-queue analog)")
     sp.add_argument("--stats", action="store_true")
     sp.add_argument("--progress", action="store_true")
     sp.add_argument("--debug-csv")

@@ -102,17 +102,21 @@ def _random_unit_rows(key, r):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "spp", "tile",
-                                             "n_pad"))
+                                             "n_pad", "q_base"))
 def _camera_rays_tiled(orig, cam, vu, vv, key, *, width: int, height: int,
-                       spp: int, tile: int, n_pad: int):
+                       spp: int, tile: int, n_pad: int, q_base: int = 0):
     """Primary rays emitted directly in tile-major order (pixel_ray semantics,
     raytrace.rs:1374-1394) — index arithmetic only, no permutation gathers.
 
     Returns (o, d) as [3, n_pad] xyz-major columns ([R, 3] arrays lane-pad
     42x on TPU); positions beyond height*width*spp have d = 0 (invalid lanes).
+    q_base: tile-major stream offset — rays for positions q_base..q_base+n_pad
+    of the FULL image's stream (banded rendering: the same index arithmetic
+    on absolute positions makes a band's rays bitwise identical to the full
+    render's).
     """
     R0 = height * width * spp
-    q = jnp.arange(n_pad)
+    q = jnp.arange(n_pad) + q_base
     pix = q // spp if spp > 1 else q
     T = tile
     tpr = width // T
@@ -891,55 +895,24 @@ class Engine(RayCaster):
             self._aot_cache[sig] = fn
         return fn(pos, dyn_vals)
 
-    def render(self, v: Viewport, key: Optional[jax.Array] = None,
-               fixed_rng: bool = False, progress=None, debug: bool = False,
-               quantize: bool = True) -> RenderResult:
-        """Render.  `debug` additionally returns the per-pixel primary hit
-        id/t buffers (the debug.rs trace buffers) at the cost of an extra
-        29 MB device->host transfer; `quantize` returns a u8 image quantized
-        on device (exact PNG semantics, 4x smaller transfer) — pass False for
-        float images (oracle comparisons, custom tone mapping).
-        """
-        key = key if key is not None else jax.random.PRNGKey(0)
-        RB = self.ray_chunk
-        spp = v.samples_per_pixel
-        t0 = time.perf_counter()
-
-        tile = pick_tile(v.width, v.height)
-        R0 = v.height * v.width * spp
-        # pad to the chunk size AND the 128-lane DMA alignment (compaction)
-        quantum = max(RB, 128)
-        R = -(-R0 // quantum) * quantum
-        quant = quantize and (R % spp == 0)
-
-        o, d = _camera_rays_tiled(
-            jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
-            jnp.asarray(v.vv), key, width=v.width, height=v.height, spp=spp,
-            tile=tile, n_pad=R)
-        pk0 = None
-        if self.pinhole_origin:
-            # Primary rays re-anchored at the pinhole: same geometric lines
-            # (d = unit(px_u - cam)), but chunk origin bounds collapse to a
-            # point, which sharpens the packet cull's t intervals and the
-            # front-to-back early exit, and the origin folds into the page
-            # scalars (fold_pages_origin) so the wave-0 kernel skips half its
-            # dot products.  Only differs from the reference's image-plane
-            # origins (raytrace.rs:1391-1393) for geometry inside the
-            # 0.5-unit pinhole->plane wedge, where the reference would
-            # reject the hit (t < 0); no shipped scene has such geometry.
-            o = jnp.broadcast_to(jnp.asarray(v.cam)[:, None], o.shape)
-            cam_key = tuple(np.asarray(v.cam, dtype=np.float32).tolist())
-            if cam_key not in self._pk0_cache:
-                self._pk0_cache[cam_key] = fold_pages_origin(
-                    self.tensors.PK, jnp.asarray(v.cam, dtype=F32))
-            pk0 = self._pk0_cache[cam_key]
-        alive0 = jnp.arange(R) < R0
-
-        lights = self.scene.lights
+    def _use_compact(self, R: int, spp: int) -> bool:
         # spp > 1: samples are just rays to the compacted pipeline; the
         # only spp-aware op is the final on-device box-filter average
-        use_compact = self.compact and self.exact_cull \
+        return self.compact and self.exact_cull \
             and (spp == 1 or R % spp == 0)
+
+    def _dispatch_device(self, v: Viewport, o, d, alive0, key, *,
+                         fixed_rng: bool, debug: bool, quant: bool,
+                         spp: int, pk0):
+        """Run the device render program on prepared ray arrays.
+
+        Returns (img_dev, wave_counts, primary, cull0).  Shared by
+        render() (full-image arrays) and render_banded() (per-band
+        slices of the same tile-major stream)."""
+        R = o.shape[1]
+        RB = self.ray_chunk
+        lights = self.scene.lights
+        use_compact = self._use_compact(R, spp)
         cull0 = None
         if use_compact:
             statics = dict(
@@ -975,6 +948,60 @@ class Engine(RayCaster):
                 weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
                 bounce_chunk=self.bounce_chunk, pk0=pk0, nbuf=self.nbuf,
                 exact_cull=self.exact_cull)
+        return img_dev, wave_counts, primary, cull0
+
+    def _pinhole_fold(self, v: Viewport, o):
+        """Pinhole-origin rewrite + cached page-scalar fold (see render()
+        for the rationale).  Returns (o, pk0)."""
+        if not self.pinhole_origin:
+            return o, None
+        o = jnp.broadcast_to(jnp.asarray(v.cam)[:, None], o.shape)
+        cam_key = tuple(np.asarray(v.cam, dtype=np.float32).tolist())
+        if cam_key not in self._pk0_cache:
+            self._pk0_cache[cam_key] = fold_pages_origin(
+                self.tensors.PK, jnp.asarray(v.cam, dtype=F32))
+        return o, self._pk0_cache[cam_key]
+
+    def render(self, v: Viewport, key: Optional[jax.Array] = None,
+               fixed_rng: bool = False, progress=None, debug: bool = False,
+               quantize: bool = True) -> RenderResult:
+        """Render.  `debug` additionally returns the per-pixel primary hit
+        id/t buffers (the debug.rs trace buffers) at the cost of an extra
+        29 MB device->host transfer; `quantize` returns a u8 image quantized
+        on device (exact PNG semantics, 4x smaller transfer) — pass False for
+        float images (oracle comparisons, custom tone mapping).
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        RB = self.ray_chunk
+        spp = v.samples_per_pixel
+        t0 = time.perf_counter()
+
+        tile = pick_tile(v.width, v.height)
+        R0 = v.height * v.width * spp
+        # pad to the chunk size AND the 128-lane DMA alignment (compaction)
+        quantum = max(RB, 128)
+        R = -(-R0 // quantum) * quantum
+        quant = quantize and (R % spp == 0)
+
+        o, d = _camera_rays_tiled(
+            jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
+            jnp.asarray(v.vv), key, width=v.width, height=v.height, spp=spp,
+            tile=tile, n_pad=R)
+        # Primary rays re-anchored at the pinhole: same geometric lines
+        # (d = unit(px_u - cam)), but chunk origin bounds collapse to a
+        # point, which sharpens the packet cull's t intervals and the
+        # front-to-back early exit, and the origin folds into the page
+        # scalars (fold_pages_origin) so the wave-0 kernel skips half its
+        # dot products.  Only differs from the reference's image-plane
+        # origins (raytrace.rs:1391-1393) for geometry inside the
+        # 0.5-unit pinhole->plane wedge, where the reference would
+        # reject the hit (t < 0); no shipped scene has such geometry.
+        o, pk0 = self._pinhole_fold(v, o)
+        alive0 = jnp.arange(R) < R0
+
+        img_dev, wave_counts, primary, cull0 = self._dispatch_device(
+            v, o, d, alive0, key, fixed_rng=fixed_rng, debug=debug,
+            quant=quant, spp=spp, pk0=pk0)
 
         # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
         # 1000x slower on this platform).
@@ -1009,7 +1036,8 @@ class Engine(RayCaster):
                 primary_chunk = (qpos // RB).reshape(v.height, v.width)
 
         wave_counts = np.asarray(wave_counts)
-        if self._auto_schedule and use_compact and not self.interpret \
+        if self._auto_schedule and self._use_compact(R, spp) \
+                and not self.interpret \
                 and jax.default_backend() == "tpu":
             # Autotune the compaction-boundary schedule from this render's
             # measured wave decay (one recompile on the next render; any
@@ -1072,14 +1100,7 @@ class Engine(RayCaster):
             jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
             jnp.asarray(v.vv), key, width=v.width, height=v.height, spp=spp,
             tile=tile, n_pad=R)
-        pk0 = None
-        if self.pinhole_origin:
-            o = jnp.broadcast_to(jnp.asarray(v.cam)[:, None], o.shape)
-            cam_key = tuple(np.asarray(v.cam, dtype=np.float32).tolist())
-            if cam_key not in self._pk0_cache:
-                self._pk0_cache[cam_key] = fold_pages_origin(
-                    self.tensors.PK, jnp.asarray(v.cam, dtype=F32))
-            pk0 = self._pk0_cache[cam_key]
+        o, pk0 = self._pinhole_fold(v, o)
         alive0 = jnp.arange(R) < R0
 
         sh = NamedSharding(mesh, PartitionSpec(None, TILE_AXIS))
@@ -1100,6 +1121,92 @@ class Engine(RayCaster):
             seconds=time.perf_counter() - t0)
         if progress is not None:
             progress.update_wavefront(result)
+        return result
+
+    def render_banded(self, v: Viewport, key: Optional[jax.Array] = None,
+                      fixed_rng: bool = False, band_rows: Optional[int] = None,
+                      max_band_rays: int = 4_194_304, progress=None,
+                      quantize: bool = True) -> RenderResult:
+        """Render in horizontal bands so device memory is bounded by the
+        band, not the image — the TPU analog of the reference's row work
+        queue (raytrace.rs:1181-1191), which streams rows and never holds
+        the full ray set.  The full-image render() materializes all
+        H*W*spp rays (state alone is 64 B/ray), capping resolution at a
+        few hundred megapixels on one chip; banding removes the cap.
+
+        Each band's rays are the SAME tile-major stream positions the full
+        render would emit (index arithmetic on absolute positions —
+        _camera_rays_tiled q_base), so at spp == 1 under fixed_rng the
+        banded image is BIT-EXACT equal to render()'s for any band split
+        (tests/test_render.py pins this).  With live RNG each band folds
+        its index into the key (decorrelated streams, same as
+        render_sharded's per-chip fold); at spp > 1 the camera jitter is
+        drawn per band, so banded renders are valid independent sample
+        sets rather than bit-equal ones.  Bands of equal padded size share
+        one compiled executable.
+
+        band_rows: rows per band (multiple of the pixel tile); default
+        sizes bands to <= max_band_rays rays each.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        RB = self.ray_chunk
+        spp = v.samples_per_pixel
+        t0 = time.perf_counter()
+
+        tile = pick_tile(v.width, v.height)
+        rays_per_row = v.width * spp
+        if band_rows is None:
+            band_rows = max(max_band_rays // rays_per_row, tile)
+            band_rows -= band_rows % tile
+        assert band_rows % tile == 0 and band_rows > 0, \
+            f"band_rows must be a positive multiple of the {tile}-px tile"
+        band_rows = min(band_rows, v.height)
+
+        quantum = max(RB, 128)
+        quant = quantize and all(
+            (-(-(bh * rays_per_row) // quantum) * quantum) % spp == 0
+            for bh in {band_rows, v.height - (v.height // band_rows)
+                       * band_rows} if bh)
+        perm_full = self._perm(v, tile)
+        out = np.empty((v.height, v.width, 3),
+                       dtype=np.uint8 if quant else np.float32)
+        wave_counts = None
+        rays = 0
+        for bi, r0 in enumerate(range(0, v.height, band_rows)):
+            bh = min(band_rows, v.height - r0)
+            q0 = r0 * rays_per_row
+            Rb0 = bh * rays_per_row
+            Rpad = -(-Rb0 // quantum) * quantum
+            kb = jax.random.fold_in(key, bi)
+            o, d = _camera_rays_tiled(
+                jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
+                jnp.asarray(v.vv), kb, width=v.width, height=v.height,
+                spp=spp, tile=tile, n_pad=Rpad, q_base=q0)
+            o, pk0 = self._pinhole_fold(v, o)
+            alive0 = jnp.arange(Rpad) < Rb0
+            img_dev, wc, _, _ = self._dispatch_device(
+                v, o, d, alive0, kb, fixed_rng=fixed_rng, debug=False,
+                quant=quant, spp=spp, pk0=pk0)
+            band_view = type("BandView", (), {"height": bh,
+                                              "width": v.width})()
+            perm_local = perm_full[q0:q0 + Rb0] - q0
+            out[r0:r0 + bh] = _assemble_host_image(
+                img_dev, band_view, perm_local, spp, quant)
+            wc = np.asarray(wc)
+            wave_counts = wc if wave_counts is None else wave_counts + wc
+            rays += int(wc.sum())
+            if progress is not None:
+                # per-band progress report, like the reference's per-row
+                # worker flushes (raytrace.rs:1411-1429)
+                progress.update(bh * v.width, {"Rays": int(wc.sum())})
+
+        result = RenderResult(
+            image=out, rays_traced=rays, wave_rays=wave_counts,
+            primary_t=None, primary_id=None,
+            seconds=time.perf_counter() - t0)
+        if progress is not None:
+            for i, n in enumerate(wave_counts):
+                progress._stat(f"Wave{i}Rays", "count").add(int(n))
         return result
 
     def walk_one_ray(self, v: Viewport, px) -> RenderResult:

@@ -86,7 +86,7 @@ def walkone(rng, seed):
     from rust_raytrace_tpu.engine import Engine
 
     scene = TF._rand_scene(rng, n_soup=int(rng.integers(2, 5)),
-                           spheres=[(5, 7)] if seed % 2 else [])
+                           spheres=[(6, 8)] if seed % 2 else [])
     vp = TF._rand_viewport(rng, (32, 24), maxdepth=int(rng.integers(3, 6)))
     eng = Engine(scene, page_size=int(rng.choice([16, 24])), ray_chunk=128,
                  interpret=True, auto_pages=False)

@@ -132,6 +132,46 @@ def test_engine_walk_one_ray_production_path(small_scene, vp):
     np.testing.assert_array_equal(res.image[0, 0], full.image[16, 24])
 
 
+def test_engine_render_banded_bitexact(small_scene, vp):
+    """render_banded == render BITWISE under fixed_rng at spp=1 for any
+    band split: each band's rays are the same tile-major stream positions
+    the full render emits (q_base index arithmetic), so banding only
+    changes how much device memory is resident at once — the TPU analog of
+    the reference's row work queue (raytrace.rs:1181-1191)."""
+    from rust_raytrace_tpu.engine import Engine
+
+    eng = Engine(small_scene, page_size=64, ray_chunk=128, interpret=True)
+    full = eng.render(vp, fixed_rng=True)
+    for band_rows in (16, 32):
+        banded = eng.render_banded(vp, fixed_rng=True, band_rows=band_rows)
+        assert banded.image.dtype == np.uint8
+        np.testing.assert_array_equal(banded.image, full.image)
+        np.testing.assert_array_equal(banded.wave_rays, full.wave_rays)
+        assert banded.rays_traced == full.rays_traced
+    # float framebuffer path
+    fullf = eng.render(vp, fixed_rng=True, quantize=False)
+    bandf = eng.render_banded(vp, fixed_rng=True, band_rows=16,
+                              quantize=False)
+    assert bandf.image.dtype == np.float32
+    np.testing.assert_array_equal(bandf.image, fullf.image)
+
+
+def test_engine_render_banded_uneven_split(small_scene):
+    """Uneven band split (last band shorter) and the auto band sizing."""
+    from rust_raytrace_tpu.engine import Engine
+
+    vp48 = create_viewport((48, 48), (1.0, 1.0), (0.0, 0.0, 0.0),
+                           m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 4, 1)
+    eng = Engine(small_scene, page_size=64, ray_chunk=128, interpret=True)
+    full = eng.render(vp48, fixed_rng=True)
+    banded = eng.render_banded(vp48, fixed_rng=True, band_rows=32)  # 32 + 16
+    np.testing.assert_array_equal(banded.image, full.image)
+    # auto sizing: cap the band at ~one row of tiles
+    auto = eng.render_banded(vp48, fixed_rng=True,
+                             max_band_rays=48 * 16)
+    np.testing.assert_array_equal(auto.image, full.image)
+
+
 def test_engine_union_fallback_beyond_table_budget():
     """Scenes whose per-lane tables would exceed the VMEM budget fall back
     to union-kernel bounces (plt tables absent) and still render correctly

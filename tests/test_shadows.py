@@ -60,6 +60,18 @@ def test_engine_matches_oracle_with_shadows(shadow_scene, vp):
     assert (diff > 1 / 255).mean() < 0.01
 
 
+def test_render_banded_with_lights_bitexact(shadow_scene):
+    """Banded rendering carries the lights path (fused shadow feelers)
+    through unchanged: banded == full render bitwise under fixed_rng."""
+    vp2 = create_viewport((32, 64), (1.0, 2.0), (0.0, 0.0, 0.0),
+                          m3.unit(m3.vec(0.0, -0.3, 1.0)), 90.0, 0.0, 2, 1)
+    eng = Engine(shadow_scene, page_size=64, ray_chunk=128, interpret=True)
+    full = eng.render(vp2, fixed_rng=True)
+    banded = eng.render_banded(vp2, fixed_rng=True, band_rows=32)  # 2 bands
+    np.testing.assert_array_equal(banded.image, full.image)
+    np.testing.assert_array_equal(banded.wave_rays, full.wave_rays)
+
+
 @pytest.fixture(scope="module")
 def backlit_scene():
     """Backlit self-hit regression: the light is BELOW the floor, so a shadow
