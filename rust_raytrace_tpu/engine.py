@@ -978,10 +978,15 @@ class Engine(RayCaster):
 
         tile = pick_tile(v.width, v.height)
         R0 = v.height * v.width * spp
-        # pad to the chunk size AND the 128-lane DMA alignment (compaction)
+        # pad to the chunk size AND the 128-lane DMA alignment (compaction);
+        # keep the padding spp-divisible so sample groups stay intact — an
+        # odd spp must not silently drop device quantization or the compact
+        # path (the sharded path at render_sharded already bumps this way)
         quantum = max(RB, 128)
+        if quantum % spp:
+            quantum *= spp
         R = -(-R0 // quantum) * quantum
-        quant = quantize and (R % spp == 0)
+        quant = quantize
 
         o, d = _camera_rays_tiled(
             jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
@@ -1162,11 +1167,13 @@ class Engine(RayCaster):
             f"band_rows must be a positive multiple of the {tile}-px tile"
         band_rows = min(band_rows, v.height)
 
+        # spp-divisible padding quantum: every band's Rpad keeps sample
+        # groups intact, so quantize=True always yields u8 (same rule as
+        # render(); bands start at q0 = r0*W*spp, also spp-divisible)
         quantum = max(RB, 128)
-        quant = quantize and all(
-            (-(-(bh * rays_per_row) // quantum) * quantum) % spp == 0
-            for bh in {band_rows, v.height - (v.height // band_rows)
-                       * band_rows} if bh)
+        if quantum % spp:
+            quantum *= spp
+        quant = quantize
         perm_full = self._perm(v, tile)
         out = np.empty((v.height, v.width, 3),
                        dtype=np.uint8 if quant else np.float32)

@@ -156,6 +156,37 @@ def test_engine_render_banded_bitexact(small_scene, vp):
     np.testing.assert_array_equal(bandf.image, fullf.image)
 
 
+def test_engine_render_odd_spp_quantized_compact(small_scene):
+    """Odd spp (here 3): quantize=True must still yield a u8 image and the
+    COMPACT path must still engage — the padding quantum is bumped to an
+    spp-divisible size (render()/render_banded() quantum rule) instead of
+    silently falling back to a float image on the legacy pipeline.  The u8
+    bytes must equal host quantization of the float render (same program
+    association: the box filter is an explicit left-to-right chain)."""
+    from rust_raytrace_tpu.engine import Engine
+    from rust_raytrace_tpu.utils.png import quantize_u8
+
+    vp3 = create_viewport((48, 32), (1.0, 32 / 48), (0.0, 0.0, 0.0),
+                          m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 4, 3)
+    eng = Engine(small_scene, page_size=64, ray_chunk=128, interpret=True)
+    R0 = 48 * 32 * 3
+    quantum = 128 * 3                       # bumped: 128 % 3 != 0
+    R = -(-R0 // quantum) * quantum
+    assert eng._use_compact(R, 3)
+    resq = eng.render(vp3, fixed_rng=True)
+    assert resq.image.dtype == np.uint8
+    resf = eng.render(vp3, fixed_rng=True, quantize=False)
+    assert resf.image.dtype == np.float32
+    np.testing.assert_array_equal(resq.image, quantize_u8(resf.image))
+    # banded path: same dtype contract (band images differ from the full
+    # render at spp > 1 by design — per-band jitter keys)
+    bandq = eng.render_banded(vp3, fixed_rng=True, band_rows=16)
+    assert bandq.image.dtype == np.uint8
+    bandf = eng.render_banded(vp3, fixed_rng=True, band_rows=16,
+                              quantize=False)
+    np.testing.assert_array_equal(bandq.image, quantize_u8(bandf.image))
+
+
 def test_engine_render_banded_uneven_split(small_scene):
     """Uneven band split (last band shorter) and the auto band sizing."""
     from rust_raytrace_tpu.engine import Engine
