@@ -47,8 +47,12 @@ def test_parity_vs_shipped_golden(golden_small, ours_small):
     assert stats["sky_mean_abs_diff"] < 4.0, stats
     # silhouette: the geometry footprint must align (IoU catches camera /
     # transform / mesh regressions; downsampling + bounce noise costs a
-    # little overlap, a real regression costs a lot)
-    assert stats["silhouette_iou"] > 0.8, stats
+    # little overlap, a real regression costs a lot).  Measured 0.9777;
+    # the residual 2.3% is LOCATED (probe_r12a/a2, docs/PARITY.md): the
+    # golden's disk2 was rendered at ~1.2x the shipped source's radius —
+    # two coherent side-lobe blobs, 92.6% of the disagreement — so the
+    # gate sits just under the measurement, not at a forgiving 0.8
+    assert stats["silhouette_iou"] > 0.95, stats
 
 
 def test_parity_stats_error_norms():
@@ -67,9 +71,12 @@ def test_parity_stats_error_norms():
 @pytest.mark.needs_teapot
 def test_parity_gate_detects_regressions(golden_small, ours_small):
     """The gate must actually trip on representative breakages."""
-    # camera shift: roll the image by ~5% of its width
+    # camera shift: roll the image by ~5% of its width — and a SMALL one
+    # (~1.5%) that the old 0.8 gate slept through but the 0.95 gate trips
     shifted = np.roll(ours_small, ours_small.shape[1] // 20, axis=1)
     assert parity_stats(shifted, golden_small)["silhouette_iou"] < 0.8
+    nudged = np.roll(ours_small, max(ours_small.shape[1] // 64, 4), axis=1)
+    assert parity_stats(nudged, golden_small)["silhouette_iou"] < 0.95
     # sky-color regression: the CUDA sky constant (128,178,255) is FINE
     # (within drift), but a wrong sky (e.g. 140,180,255) is not
     broken = ours_small.copy()
