@@ -33,6 +33,7 @@ cull; the final image is un-permuted once on the host in numpy.
 """
 
 import functools
+import math
 import time
 from typing import Optional
 
@@ -56,6 +57,9 @@ from .ops.intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
 from .ops.intersect_perlane import (build_perlane_tables,
                                     trace_perlane_pallas,
                                     trace_shade_perlane_pallas)
+from .ops.intersect_streamed import (build_streamed_tables,
+                                     trace_shade_streamed_pallas,
+                                     trace_streamed_pallas)
 from .ops.pages import build_pages_kd
 from .ops.shade import shade_pallas
 from .render import (KIND_MATTE, KIND_REFLECTIVE, RayCaster, RenderResult,
@@ -101,6 +105,54 @@ def _random_unit_rows(key, r):
     return _unit_rows(v)
 
 
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32 (20 rounds; Salmon et al., SC'11) on uint32 vectors.
+
+    A counter-based PRNG evaluated per element: the output depends only on
+    (key, counter), never on array shape or slicing — which is exactly what
+    position-keyed camera jitter needs (see _pos_uniform).  Returns the
+    first output word.
+    """
+    rot = (13, 15, 26, 6, 17, 29, 16, 24)
+    k2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    ks = (k0, k1, k2)
+    x0 = x0 + k0
+    x1 = x1 + k1
+
+    def rotl(v, r):
+        return (v << jnp.uint32(r)) | (v >> jnp.uint32(32 - r))
+
+    for block in range(5):
+        for r in range(4):
+            x0 = x0 + x1
+            x1 = rotl(x1, rot[(block % 2) * 4 + r])
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(block + 1) % 3]
+        x1 = x1 + ks[(block + 2) % 3] + jnp.uint32(block + 1)
+    return x0
+
+
+def _pos_uniform(key, q, salt: int):
+    """Uniform [0,1) f32 keyed by ABSOLUTE stream position q (uint32 vector).
+
+    jax.random.uniform(key, (n,)) seeds its counter at the array's own
+    index 0, so a band/shard drawing its slice of jitter would get values
+    that depend on where the slice starts — banded renders could never be
+    bit-equal to the full render at spp > 1 (raytrace.rs:1374-1394 draws
+    jitter per pixel_ray call, which the row queue replays identically for
+    any row split; this is the TPU analog of that property).  Hashing the
+    absolute position through a counter-based threefry makes the draw a
+    pure function of (key, salt, q): any window of the stream reproduces
+    the full render's values bitwise.
+    """
+    kd = jax.random.key_data(jax.random.fold_in(key, salt))
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    bits = _threefry2x32(kd[0], kd[1], q.astype(jnp.uint32),
+                         jnp.zeros_like(q, dtype=jnp.uint32))
+    # 24 high bits -> multiples of 2^-24 in [0, 1)
+    return (bits >> jnp.uint32(8)).astype(F32) * F32(1.0 / (1 << 24))
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "spp", "tile",
                                              "n_pad", "q_base"))
 def _camera_rays_tiled(orig, cam, vu, vv, key, *, width: int, height: int,
@@ -128,10 +180,11 @@ def _camera_rays_tiled(orig, cam, vu, vv, key, *, width: int, height: int,
     if spp == 1:
         u_off = v_off = F32(0.5)          # raytrace.rs:1382-1386
     else:
-        u_off = jax.random.uniform(jax.random.fold_in(key, 1_000_001),
-                                   (n_pad,), dtype=F32)
-        v_off = jax.random.uniform(jax.random.fold_in(key, 1_000_002),
-                                   (n_pad,), dtype=F32)
+        # position-keyed jitter: a pure function of (key, absolute stream
+        # position), so any band/shard window of the stream draws the SAME
+        # values the full render does (bit-exact banding at spp > 1)
+        u_off = _pos_uniform(key, q, 1_000_001)
+        v_off = _pos_uniform(key, q, 1_000_002)
 
     vu_delta = vu * (F32(1.0) / F32(width))
     vv_delta = vv * (F32(1.0) / F32(height))
@@ -344,6 +397,25 @@ def _quantize_u8(img):
     return jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(jnp.uint8)
 
 
+def _device_quantizable(spp: int) -> bool:
+    """True when on-device quantization is provably byte-equal to host
+    quantization of the float render (the repo's PNG-semantics contract:
+    u8 images == utils.png.quantize_u8(float image) always).
+
+    Two float hazards make this spp-dependent:
+      - division: XLA may compile _box_filter's `acc / spp` as a
+        reciprocal multiply; 1/spp is exact in f32 only for powers of two
+        (spp=3 measured a 1-step flip where mean*255 lands on an integer —
+        ADVICE r3: host 164.99998 -> 164 vs device 165.0 -> 165);
+      - association: the host float path averages with np.mean, whose
+        summation is sequential only below numpy's 8-element unroll;
+        _box_filter's explicit left-to-right chain matches it for spp < 8.
+    Both hold exactly for spp in {1, 2, 4}; anything else renders float on
+    device and quantizes on host (quantize=True still always returns u8).
+    """
+    return spp in (1, 2, 4)
+
+
 def _box_filter(img, R: int, spp: int):
     """On-device box-filter sample average (raytrace.rs:1426) with an
     EXPLICIT left-to-right add chain instead of a reduce: XLA's `reduce`
@@ -351,8 +423,11 @@ def _box_filter(img, R: int, spp: int):
     between the compact and legacy programs (round-10 soak, seed 741 —
     a pixel whose mean*255 lands exactly on a quantization boundary
     flipped by 1 u8 step).  A fixed add chain makes the filter bit-equal
-    across programs AND matches np.mean's sequential order on the host
-    float path for spp <= 8."""
+    across programs AND matches np.mean's sequential summation order on
+    the host float path for spp < 8 (numpy unrolls to 8 accumulators at
+    8+).  The division is only exact for power-of-two spp (XLA may emit a
+    reciprocal multiply) — _device_quantizable gates device quantization
+    to spp where BOTH properties hold."""
     s = img.reshape(3, R // spp, spp)
     acc = s[..., 0]
     for i in range(1, spp):
@@ -363,7 +438,8 @@ def _box_filter(img, R: int, spp: int):
 def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                  key, wave, fixed_rng, light_orig, light_len2, page_size,
                  ray_chunk, interpret, nbuf, plt_i=None, plt_s=None,
-                 ab_tab=None):
+                 ab_tab=None, slt_i=None, slt_s=None, s_ab=None,
+                 s_bank_ab=None):
     """Shadow-ray pass (commented reference design, raytrace.rs:600-610,
     1203-1224): jittered ray to the light from each hit; shadowed if any
     OTHER triangle intersects it (origin triangle excluded in-kernel)."""
@@ -390,7 +466,14 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
     so_m = jnp.where(hit_mask, so, 0.0)
     sd_m = jnp.where(hit_mask, sd, 0.0)
     sexcl = jnp.where(hit_mask, hid, 0.0)
-    if plt_i is not None:
+    if slt_i is not None:
+        # streamed regime: any_hit over the HBM bank worklist (lanes stop
+        # demanding banks at their first occluder)
+        srows = trace_streamed_pallas(so_m, sd_m, hit_mask[0], slt_i, slt_s,
+                                      s_ab, s_bank_ab, page_size, ray_chunk,
+                                      interpret=interpret, excl=sexcl,
+                                      any_hit=True)
+    elif plt_i is not None:
         # shadow rays are maximally scattered — per-lane traversal, no cull;
         # occlusion needs ANY other hit, not the nearest (any_hit)
         srows = trace_perlane_pallas(so_m, sd_m, hit_mask[0], plt_i, plt_s,
@@ -429,7 +512,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            bounce_rb: int = 0, plt_i=None, plt_s=None,
                            ab_tab=None, profile_skip: tuple = (),
                            ncompact: int = -1, spp: int = 1,
-                           gate_frac=None):
+                           gate_frac=None, slt_i=None, slt_s=None,
+                           s_ab=None, s_bank_ab=None):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -515,11 +599,35 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             prev_alive = None    # consumed; recompute unless a compaction
                                  # boundary refreshes it below
 
+        streamed = slt_i is not None
         perlane = plt_i is not None and wave > 0
         kw = jax.random.fold_in(key, wave)
         seed = (kw if kw.ndim == 1 else jax.random.key_data(kw)) \
             .astype(jnp.uint32)
-        if perlane and "trace" not in profile_skip:
+        if streamed and "trace" not in profile_skip:
+            # Streamed regime (scene beyond the resident-table budget):
+            # EVERY wave rides the HBM-streamed banked per-lane traversal
+            # (ops/intersect_streamed.py) — there is no packet cull or
+            # page argsort at all (a [NC, NP] sort at NP ~ 18k would cost
+            # more than the trace; each chunk's bank worklist plays the
+            # cull's role).  Wave 0 loses the union kernel's shared page
+            # stream (~2x on primary rays — tile-coherent groups make the
+            # per-lane loop short), bounce waves gain fine-page economics
+            # at ANY scene size.  Lights/debug waves run the unfused rows
+            # variant + the shared shadow/shade path below.
+            if not has_lights and not (wave == 0 and want_primary):
+                state = trace_shade_streamed_pallas(
+                    state, slt_i, slt_s, s_ab, s_bank_ab, seed, page_size,
+                    rb_w, fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
+                    chunk_live=chunk_live, interpret=interpret,
+                    grid_live=grid_live)
+                rows = None
+            else:
+                rows = trace_streamed_pallas(
+                    o_w, d_w, alive, slt_i, slt_s, s_ab, s_bank_ab,
+                    page_size, rb_w, chunk_live=chunk_live,
+                    interpret=interpret)
+        elif perlane and "trace" not in profile_skip:
             # Bounce waves: per-lane traversal (each ray tests only its OWN
             # slab-selected pages — no packet cull or page sort) FUSED with
             # the wave's shade/scatter/state update: the winner rows never
@@ -559,11 +667,15 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             if not has_lights and not (wave == 0 and want_primary):
                 # fused union trace + shade (same fusion rationale as the
                 # per-lane bounce path; shade reads the TRUE origin from
-                # state rows 0..2 even when the trace runs zero_origin)
+                # state rows 0..2 even when the trace runs zero_origin).
+                # Fallback bounce waves (plt tables absent) skip retired
+                # chunks and the dead tail exactly like the per-lane path.
                 state = trace_shade_chunks_pallas(
                     state, pk_use, counts, plist, ptmin, seed, page_size,
                     rb_w, fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
-                    interpret=interpret, zero_origin=zo, nbuf=nbuf)
+                    interpret=interpret, zero_origin=zo, nbuf=nbuf,
+                    chunk_live=chunk_live if wave > 0 else None,
+                    grid_live=grid_live if wave > 0 else None)
                 rows = None
             else:
                 rows = trace_chunks_pallas(o_w, d_w, pk_use, counts, plist,
@@ -572,9 +684,13 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                                            zero_origin=zo, nbuf=nbuf)
         if wave == 0 and want_primary:
             primary = rows[ROW_T:ROW_ID + 1]
-            if "trace" not in profile_skip:
+            if not streamed and "trace" not in profile_skip:
                 # primary candidate sets for the ray differ
-                # (debug.rs:180-205): each chunk's surviving page list
+                # (debug.rs:180-205): each chunk's surviving page list.
+                # The streamed regime has no culled page lists (bank
+                # worklists play that role in-kernel) — the differ's hit
+                # comparison still works, its candidate-set classification
+                # degrades gracefully (raydebug handles cull0=None).
                 cull0 = (counts, plist)
 
         if rows is not None:
@@ -590,7 +706,9 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                                         light_orig, light_len2, page_size,
                                         rb_w, interpret, nbuf,
                                         plt_i=None if wave == 0 else plt_i,
-                                        plt_s=plt_s, ab_tab=ab_tab)
+                                        plt_s=plt_s, ab_tab=ab_tab,
+                                        slt_i=slt_i, slt_s=slt_s,
+                                        s_ab=s_ab, s_bank_ab=s_bank_ab)
 
             # Shade + scatter RNG + state update: one chunk-skipping Pallas
             # kernel instead of threefry + ~60 XLA elementwise passes at
@@ -756,11 +874,17 @@ def auto_page_size(n_tris: int, page_size: int = 56) -> int:
 
 
 def _assemble_host_image(img_dev, v: Viewport, perm: np.ndarray, spp: int,
-                         quant: bool) -> np.ndarray:
+                         dev_quant: bool, want_u8: bool = False) -> np.ndarray:
     """Un-permute a device framebuffer (tile order, [3, R] or [3, R//spp])
     into the [height, width, 3] image — host numpy fancy indexing (~ms;
-    device gathers are 1000x slower on this platform)."""
-    if quant:
+    device gathers are 1000x slower on this platform).
+
+    dev_quant: the device already box-filtered + quantized (u8 input).
+    want_u8: quantize=True was requested but the device rendered float
+    (non-power-of-two spp, where device quantization is not byte-equal to
+    the host contract — _device_quantizable): average + quantize here.
+    """
+    if dev_quant:
         P0 = v.height * v.width
         data = np.asarray(img_dev).T[:P0]            # [P0, 3] u8
         pixperm = perm[::spp] // spp if spp > 1 else perm
@@ -772,8 +896,13 @@ def _assemble_host_image(img_dev, v: Viewport, perm: np.ndarray, spp: int,
     img = np.empty((R0, 3), dtype=np.float32)
     img[perm] = data
     if spp > 1:
-        return img.reshape(v.height, v.width, spp, 3).mean(axis=2)
-    return img.reshape(v.height, v.width, 3)
+        img = img.reshape(v.height, v.width, spp, 3).mean(axis=2)
+    else:
+        img = img.reshape(v.height, v.width, 3)
+    if want_u8:
+        from .utils.png import quantize_u8
+        img = quantize_u8(img)
+    return img
 
 
 class Engine(RayCaster):
@@ -790,7 +919,9 @@ class Engine(RayCaster):
                  bounce_chunk: int = 0, nbuf: int = 4,
                  exact_cull: bool = True, compact: bool = True,
                  auto_pages: bool = True, ncompact: Optional[int] = None,
-                 gate_frac: Optional[float] = None):
+                 gate_frac: Optional[float] = None,
+                 streamed: Optional[bool] = None,
+                 table_slot_cap: int = 262144):
         self.exact_cull = exact_cull
         self.compact = compact
         self._auto_schedule = False
@@ -808,9 +939,13 @@ class Engine(RayCaster):
             ncompact = tuple(bool(b) for b in ncompact)
         self.ncompact = ncompact
         self.gate_frac = gate_frac
-        if auto_pages:
-            page_size = auto_page_size(max(len(scene.tris) - 1, 1),
-                                       page_size)
+        n_tris = max(len(scene.tris) - 1, 1)
+        if auto_pages and n_tris <= table_slot_cap:
+            # slots >= n_tris at ANY page size, so a scene past the cap can
+            # never hold resident per-lane tables — don't grow the page for
+            # a bank budget it can't meet; the streamed regime below keeps
+            # the fine-page economics instead (ops/intersect_streamed.py)
+            page_size = auto_page_size(n_tris, page_size)
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
         self.bounce_chunk = bounce_chunk
@@ -825,24 +960,39 @@ class Engine(RayCaster):
         self.aabb_hi = jnp.asarray(self.pages.aabb_hi)
         # per-lane traversal tables (bounce waves): banked, up to
         # MAX_BANKS * 128 pages.  The VMEM-resident tables cost ~96 B per
-        # TRIANGLE SLOT regardless of page size, so beyond ~130k tris
-        # (tables alone > ~12 MiB) bounce waves fall back to the union
-        # kernel (slower but HBM-streaming: correct at any scene scale).
+        # TRIANGLE SLOT regardless of page size, so beyond the slot cap
+        # the tables move to HBM and the STREAMED kernel DMAs them one
+        # bank at a time (ops/intersect_streamed.py — the round-4 regime
+        # that replaced the round-3 union-kernel fallback; unbounded scene
+        # size at fine-page economics).
         from .ops.intersect_perlane import GROUP as _G, MAX_BANKS as _MB
         slots = self.pages.num_pages * self.pages.page_size
         # Slot cap: tables cost ~96 B/slot; at 262144 slots (~25 MB) they
         # fit the 64 MiB per-compile scoped-VMEM limit with ~20 MB of sort
         # scratch + block headroom.  (The old 131072 cap predates the AOT
         # scoped-vmem raise, when the hard limit was XLA's default 16 MiB.)
-        if self.pages.num_pages <= _MB * _G and slots <= 262144:
+        fits_resident = (self.pages.num_pages <= _MB * _G
+                         and slots <= table_slot_cap)
+        self.streamed = (not fits_resident) if streamed is None \
+            else bool(streamed)
+        self.plt_i = self.plt_s = self.ab_tab = None
+        self.slt_i = self.slt_s = self.s_ab = self.s_bank_ab = None
+        tables_mb = 0.0
+        if self.streamed:
+            si, ss, sab, sbab = build_streamed_tables(self.pages)
+            self.slt_i = jnp.asarray(si)        # [NB, 17P, 128] HBM-streamed
+            self.slt_s = jnp.asarray(ss)        # [NB, 7P, 128]
+            self.s_ab = jnp.asarray(sab)        # fine page AABBs, resident
+            self.s_bank_ab = jnp.asarray(sbab)  # bank AABBs, resident
+            # resident footprint = fine ab + bank ab + scratch; always
+            # raise the scoped-VMEM limit (the sort scratch alone is ~6 MB)
+            tables_mb = 64.0
+        elif fits_resident:
             plt_i, plt_s, ab = build_perlane_tables(self.pages)
             self.plt_i = jnp.asarray(plt_i)
             self.plt_s = jnp.asarray(plt_s)
             self.ab_tab = jnp.asarray(ab)
             tables_mb = (plt_i.size + plt_s.size + ab.size) * 4 / 2**20
-        else:
-            self.plt_i = self.plt_s = self.ab_tab = None
-            tables_mb = 0.0
         # Scenes beyond ~60k tris carry per-lane tables big enough that the
         # Mosaic kernel's scoped-VMEM stack (tables + the [RB, RB] sort
         # scratch + block buffers, ~11 MB of non-table overhead at RB=1024)
@@ -930,7 +1080,8 @@ class Engine(RayCaster):
                 light_len2=(jnp.asarray(lights.len2, dtype=F32)
                             if lights is not None else None),
                 pk0=pk0, plt_i=self.plt_i, plt_s=self.plt_s,
-                ab_tab=self.ab_tab)
+                ab_tab=self.ab_tab, slt_i=self.slt_i, slt_s=self.slt_s,
+                s_ab=self.s_ab, s_bank_ab=self.s_bank_ab)
             img_dev, wave_counts, primary, cull0 = self._call_compact(
                 (self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0,
                  key), dyn, statics)
@@ -980,13 +1131,14 @@ class Engine(RayCaster):
         R0 = v.height * v.width * spp
         # pad to the chunk size AND the 128-lane DMA alignment (compaction);
         # keep the padding spp-divisible so sample groups stay intact — an
-        # odd spp must not silently drop device quantization or the compact
-        # path (the sharded path at render_sharded already bumps this way)
+        # odd spp must not silently drop the compact path.  lcm, not *spp:
+        # spp=48 at RB=1024 would otherwise pad to 49k-ray quanta and trace
+        # up to ~46k dead rays per render (ADVICE r3)
         quantum = max(RB, 128)
-        if quantum % spp:
-            quantum *= spp
+        quantum = quantum * spp // math.gcd(quantum, spp)
         R = -(-R0 // quantum) * quantum
-        quant = quantize
+        # device quantization only when byte-equal to the host contract
+        quant = quantize and _device_quantizable(spp)
 
         o, d = _camera_rays_tiled(
             jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
@@ -1011,7 +1163,8 @@ class Engine(RayCaster):
         # Host-side un-permute (numpy fancy indexing ~ms; device gathers are
         # 1000x slower on this platform).
         perm = self._perm(v, tile)
-        img = _assemble_host_image(img_dev, v, perm, spp, quant)
+        img = _assemble_host_image(img_dev, v, perm, spp, quant,
+                                   want_u8=quantize and not quant)
 
         pt = pid = primary_chunk = chunk_tris = None
         if debug:
@@ -1068,6 +1221,7 @@ class Engine(RayCaster):
                        n_devices: Optional[int] = None,
                        key: Optional[jax.Array] = None,
                        fixed_rng: bool = False, progress=None,
+                       debug: bool = False,
                        quantize: bool = True) -> RenderResult:
         """Multi-chip render: the exact per-chip production program of
         render(), data-parallel over an image-tile device mesh
@@ -1077,8 +1231,10 @@ class Engine(RayCaster):
         render()'s (tests/test_sharding.py pins this); with live RNG each
         chip folds its mesh position into the key for a decorrelated
         stream.  Lights and spp>1 follow the scene/viewport exactly as in
-        render().  The `debug` buffers are not available sharded — use
-        render() for the differ surface.
+        render().  `debug` returns the per-pixel primary hit t/id buffers
+        (each shard records its wave-0 slice; assembled here exactly like
+        render()'s) so `cli diff` works on multi-chip renders — the
+        reference's differential methodology (debug.rs:150-222).
         """
         from jax.sharding import NamedSharding, PartitionSpec
         from .parallel.sharding import (TILE_AXIS, engine_render_sharded,
@@ -1095,11 +1251,12 @@ class Engine(RayCaster):
         tile = pick_tile(v.width, v.height)
         R0 = v.height * v.width * spp
         # per-shard rays must cover whole chunks, meet the 128-lane DMA
-        # alignment, and hold whole sample groups
-        quantum = n * max(RB, 128)
-        if (quantum // n) % spp:
-            quantum *= spp
+        # alignment, and hold whole sample groups (lcm: see render())
+        qn = max(RB, 128)
+        qn = qn * spp // math.gcd(qn, spp)
+        quantum = n * qn
         R = -(-R0 // quantum) * quantum
+        quant = quantize and _device_quantizable(spp)
 
         o, d = _camera_rays_tiled(
             jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
@@ -1109,20 +1266,33 @@ class Engine(RayCaster):
         alive0 = jnp.arange(R) < R0
 
         sh = NamedSharding(mesh, PartitionSpec(None, TILE_AXIS))
-        img_dev, wave_counts = engine_render_sharded(
+        out = engine_render_sharded(
             self, jax.device_put(o, sh), jax.device_put(d, sh),
             jax.device_put(alive0,
                            NamedSharding(mesh, PartitionSpec(TILE_AXIS))),
             key, mesh, maxdepth=v.maxdepth, interpret=self.interpret,
             fixed_rng=fixed_rng, compact=self.compact and self.exact_cull,
-            spp=spp, pk0=pk0, quantize=quantize)
+            spp=spp, pk0=pk0, quantize=quant, want_primary=debug)
+        img_dev, wave_counts = out[0], out[1]
 
         perm = self._perm(v, tile)
-        img = _assemble_host_image(img_dev, v, perm, spp, quantize)
+        img = _assemble_host_image(img_dev, v, perm, spp, quant,
+                                   want_u8=quantize and not quant)
+        pt = pid = None
+        if debug:
+            primary_h = np.asarray(out[2])[:, :R0]
+            pt = np.empty(R0, dtype=np.float32)
+            pid = np.empty(R0, dtype=np.int32)
+            pt[perm] = primary_h[0]
+            pid[perm] = primary_h[1].astype(np.int32)
+            shape = (v.height, v.width, spp) if spp > 1 \
+                else (v.height, v.width)
+            pt = pt.reshape(shape)
+            pid = pid.reshape(shape)
         wave_counts = np.asarray(wave_counts)
         result = RenderResult(
             image=img, rays_traced=int(wave_counts.sum()),
-            wave_rays=wave_counts, primary_t=None, primary_id=None,
+            wave_rays=wave_counts, primary_t=pt, primary_id=pid,
             seconds=time.perf_counter() - t0)
         if progress is not None:
             progress.update_wavefront(result)
@@ -1141,14 +1311,14 @@ class Engine(RayCaster):
 
         Each band's rays are the SAME tile-major stream positions the full
         render would emit (index arithmetic on absolute positions —
-        _camera_rays_tiled q_base), so at spp == 1 under fixed_rng the
+        _camera_rays_tiled q_base; at spp > 1 the camera jitter is
+        position-keyed the same way, _pos_uniform), so under fixed_rng the
         banded image is BIT-EXACT equal to render()'s for any band split
-        (tests/test_render.py pins this).  With live RNG each band folds
-        its index into the key (decorrelated streams, same as
-        render_sharded's per-chip fold); at spp > 1 the camera jitter is
-        drawn per band, so banded renders are valid independent sample
-        sets rather than bit-equal ones.  Bands of equal padded size share
-        one compiled executable.
+        at ANY spp (tests/test_render.py pins this).  With live RNG each
+        band folds its index into the SCATTER key (decorrelated bounce
+        streams, same as render_sharded's per-chip fold) while the camera
+        jitter still matches the full render's.  Bands of equal padded
+        size share one compiled executable.
 
         band_rows: rows per band (multiple of the pixel tile); default
         sizes bands to <= max_band_rays rays each.
@@ -1168,15 +1338,14 @@ class Engine(RayCaster):
         band_rows = min(band_rows, v.height)
 
         # spp-divisible padding quantum: every band's Rpad keeps sample
-        # groups intact, so quantize=True always yields u8 (same rule as
-        # render(); bands start at q0 = r0*W*spp, also spp-divisible)
+        # groups intact, so quantize=True always yields u8 (same lcm rule
+        # as render(); bands start at q0 = r0*W*spp, also spp-divisible)
         quantum = max(RB, 128)
-        if quantum % spp:
-            quantum *= spp
-        quant = quantize
+        quantum = quantum * spp // math.gcd(quantum, spp)
+        quant = quantize and _device_quantizable(spp)
         perm_full = self._perm(v, tile)
         out = np.empty((v.height, v.width, 3),
-                       dtype=np.uint8 if quant else np.float32)
+                       dtype=np.uint8 if quantize else np.float32)
         wave_counts = None
         rays = 0
         for bi, r0 in enumerate(range(0, v.height, band_rows)):
@@ -1184,10 +1353,14 @@ class Engine(RayCaster):
             q0 = r0 * rays_per_row
             Rb0 = bh * rays_per_row
             Rpad = -(-Rb0 // quantum) * quantum
+            # scatter key: per-band fold (live-RNG decorrelation; inert
+            # under fixed_rng).  Camera jitter uses the BASE key — it is
+            # position-keyed (_pos_uniform), so every band draws exactly
+            # the full render's values for its stream window.
             kb = jax.random.fold_in(key, bi)
             o, d = _camera_rays_tiled(
                 jnp.asarray(v.orig), jnp.asarray(v.cam), jnp.asarray(v.vu),
-                jnp.asarray(v.vv), kb, width=v.width, height=v.height,
+                jnp.asarray(v.vv), key, width=v.width, height=v.height,
                 spp=spp, tile=tile, n_pad=Rpad, q_base=q0)
             o, pk0 = self._pinhole_fold(v, o)
             alive0 = jnp.arange(Rpad) < Rb0
@@ -1198,7 +1371,8 @@ class Engine(RayCaster):
                                               "width": v.width})()
             perm_local = perm_full[q0:q0 + Rb0] - q0
             out[r0:r0 + bh] = _assemble_host_image(
-                img_dev, band_view, perm_local, spp, quant)
+                img_dev, band_view, perm_local, spp, quant,
+                want_u8=quantize and not quant)
             wc = np.asarray(wc)
             wave_counts = wc if wave_counts is None else wave_counts + wc
             rays += int(wc.sum())
@@ -1216,25 +1390,48 @@ class Engine(RayCaster):
                 progress._stat(f"Wave{i}Rays", "count").add(int(n))
         return result
 
-    def walk_one_ray(self, v: Viewport, px) -> RenderResult:
+    def walk_one_ray(self, v: Viewport, px,
+                     key: Optional[jax.Array] = None,
+                     fixed_rng: bool = True) -> RenderResult:
         """Single-pixel probe (Viewport::walk_one_ray, raytrace.rs:1442-1455;
         the CUDA cast_one_ray analog) through the PRODUCTION pipeline: the
         one ray rides lane 0 of a 128-lane chunk through the same cull,
-        trace, shade, and compaction code as a full render."""
+        trace, shade, and compaction code as a full render — INCLUDING the
+        scene's shadow feelers when lights are set, so the probe is valid
+        on every scene class the engine renders.  Under fixed_rng (the
+        default) the probed pixel equals render()'s bitwise (per-ray
+        values are independent of chunk grouping; tests/test_shadows.py
+        pins the lights case).  With live RNG the probe is a valid
+        independent sample (the in-kernel scatter RNG is seeded by lane
+        position, which differs from the ray's position in a full render).
+        """
         from .camera import pixel_rays
 
         row, col = px
+        key = key if key is not None else jax.random.PRNGKey(0)
+        lights = self.scene.lights
         o_np, d_np = pixel_rays(v, np.asarray(row), np.asarray(col))
         R = 128
         o = jnp.zeros((3, R), F32).at[:, 0].set(jnp.asarray(o_np, dtype=F32))
         d = jnp.zeros((3, R), F32).at[:, 0].set(jnp.asarray(d_np, dtype=F32))
         alive0 = jnp.arange(R) < 1
-        img, wave_counts, primary, _ = _render_device_compact(
-            self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0,
-            jax.random.PRNGKey(0), maxdepth=v.maxdepth, ray_chunk=R,
-            page_size=self.page_size, fixed_rng=True,
-            interpret=self.interpret, want_primary=True, quantize=False,
-            plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab)
+        statics = dict(
+            maxdepth=v.maxdepth, ray_chunk=R, page_size=self.page_size,
+            fixed_rng=fixed_rng, interpret=self.interpret,
+            want_primary=True, quantize=False,
+            has_lights=lights is not None,
+            weight_cutoff=0.0 if fixed_rng else self.weight_cutoff)
+        dyn = dict(
+            light_orig=(jnp.asarray(lights.orig, dtype=F32)
+                        if lights is not None else None),
+            light_len2=(jnp.asarray(lights.len2, dtype=F32)
+                        if lights is not None else None),
+            plt_i=self.plt_i, plt_s=self.plt_s, ab_tab=self.ab_tab,
+            slt_i=self.slt_i, slt_s=self.slt_s, s_ab=self.s_ab,
+            s_bank_ab=self.s_bank_ab)
+        img, wave_counts, primary, _ = self._call_compact(
+            (self.tensors, self.aabb_lo, self.aabb_hi, o, d, alive0, key),
+            dyn, statics)
         wave_rays = np.asarray(wave_counts)
         primary_h = np.asarray(primary)
         return RenderResult(

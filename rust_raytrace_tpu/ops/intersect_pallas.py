@@ -215,17 +215,19 @@ def _kernel_trace(meta_ref, ptmin_ref, o_ref, d_ref, *rest, page_size: int,
     _trace_pages(meta_ref, ptmin_ref, o_ref[:], d_ref[:],
                  excl_ref[0:1, :] if exclude_id else None, pk_hbm, S,
                  pk_buf, sem, page_size=page_size, zero_origin=zero_origin,
-                 nbuf=nbuf)
+                 nbuf=nbuf, row=jax.lax.rem(pl.program_id(0), 8))
     out_ref[:] = S[:]
 
 
 def _trace_pages(meta_ref, ptmin_ref, o_v, d_v, excl_v, pk_hbm, S, pk_buf,
-                 sem, *, page_size: int, zero_origin: bool, nbuf: int):
+                 sem, *, page_size: int, zero_origin: bool, nbuf: int, row):
     """The page-streaming trace loop of _kernel_trace, factored so the fused
     trace+shade kernel below shares it verbatim.  Winner state lands in the
-    S scratch [16, RB]."""
+    S scratch [16, RB].  `row` (the chunk's SMEM row, program_id % 8) is an
+    ARGUMENT because this body may run inside a pl.when region, where the
+    HLO-interpret lowering cannot evaluate pl.program_id — callers read it
+    at kernel top level."""
     P = page_size
-    row = jax.lax.rem(pl.program_id(0), 8)
     n = meta_ref[row, 0]
 
     o0, o1, o2 = (o_v[k:k + 1, :] for k in range(3))     # [1, RB]
@@ -347,26 +349,39 @@ def _trace_pages(meta_ref, ptmin_ref, o_v, d_v, excl_v, pk_hbm, S, pk_buf,
             dma(jax.lax.rem(k_f + w, NBUF), k_f + w).wait()
 
 
-def _kernel_trace_shade(meta_ref, ptmin_ref, seed_ref, st_ref, pk_hbm,
-                        out_ref, S, pk_buf, sem, *, page_size: int,
+def _kernel_trace_shade(flags_ref, meta_ref, ptmin_ref, seed_ref, st_ref,
+                        pk_hbm, out_ref, S, pk_buf, sem, *, page_size: int,
                         zero_origin: bool, nbuf: int, fixed_rng: bool,
                         weight_cutoff: float):
     """Fused union trace + shade: the page-streaming trace followed by the
     wave's shading/scatter/state update while the winner rows sit in the S
-    scratch — used for wave 0 (and NP > 128 bounce waves) when no shadow
-    pass or primary-debug capture is needed.  st/out: ops.compact state
-    blocks [16, RB]."""
+    scratch — used for wave 0 and for bounce waves in the beyond-table-
+    budget fallback regime (engine routes bounces here when the per-lane
+    tables exceed the VMEM slot cap).  st/out: ops.compact state blocks
+    [16, RB].  flags_ref carries per-chunk liveness: retired chunks are
+    identity pass-throughs (state aliases the output), exactly the
+    per-lane kernel's skip — on fallback bounce waves most chunks are
+    dead, and the skip spares their trace+shade entirely."""
     from .shade import _shade_state_rows, scatter_rv
 
     pid = pl.program_id(0)
-    st = st_ref[:]
-    _trace_pages(meta_ref, ptmin_ref, st[0:3], st[3:6], None, pk_hbm, S,
-                 pk_buf, sem, page_size=page_size, zero_origin=zero_origin,
-                 nbuf=nbuf)
-    rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid,
-                               st.shape[1], fixed_rng)
-    out_ref[:] = _shade_state_rows(st, S[:], rv0, rv1, rv2, None,
-                                   weight_cutoff)
+    row = jax.lax.rem(pid, 8)
+    live = flags_ref[row, 0] != 0
+
+    @pl.when(jnp.logical_not(live))
+    def _skip():
+        out_ref[:] = st_ref[:]
+
+    @pl.when(live)
+    def _busy():
+        st = st_ref[:]
+        _trace_pages(meta_ref, ptmin_ref, st[0:3], st[3:6], None, pk_hbm, S,
+                     pk_buf, sem, page_size=page_size,
+                     zero_origin=zero_origin, nbuf=nbuf, row=row)
+        rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid,
+                                   st.shape[1], fixed_rng)
+        out_ref[:] = _shade_state_rows(st, S[:], rv0, rv1, rv2, None,
+                                       weight_cutoff)
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
@@ -454,7 +469,8 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
                               page_size: int, ray_chunk: int,
                               fixed_rng: bool, weight_cutoff: float,
                               interpret: bool = False,
-                              zero_origin: bool = False, nbuf: int = 2):
+                              zero_origin: bool = False, nbuf: int = 2,
+                              chunk_live=None, grid_live=None):
     """Fused form of trace_chunks_pallas + ops.shade for waves that need no
     shadow pass or primary-row capture: one wave = cull lists -> trace ->
     shade -> state update, with the winner rows never leaving VMEM.
@@ -463,26 +479,40 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
     when zero_origin — d rows 3..5, alive row 7); seed: [2] uint32.
     Returns the post-wave state [16, R].
 
-    No chunk_live skipping here (ADVICE r2): since banked per-lane
-    traversal covers every NP the engine builds, this kernel only ever
-    runs WAVE 0, where all chunks are live by construction — a skip flag
-    would never fire."""
+    chunk_live: optional [NC] skip flags — retired chunks pass their state
+    through untouched (bit-exact: a dead chunk's shade is the identity).
+    This matters in the beyond-table-budget fallback regime, where BOUNCE
+    waves route through this kernel (engine: plt tables absent) and most
+    chunks die after wave 0.  grid_live: optional traced survivor-prefix
+    chunk count — a dynamic grid that skips the dead tail entirely (state
+    aliases the output so unvisited blocks keep their bits), same contract
+    as trace_shade_perlane_pallas."""
     RB = ray_chunk
     R = state.shape[1]
     NC = R // RB
     NP = PK.shape[0]
 
     NC8 = -(-NC // 8) * 8
+    if chunk_live is None:
+        chunk_live = jnp.ones((NC,), jnp.int32)
+    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+        chunk_live.astype(jnp.int32))
     meta = jnp.zeros((NC8, 1 + NP), jnp.int32)
     meta = meta.at[:NC, 0].set(counts.astype(jnp.int32))
     meta = meta.at[:NC, 1:].set(plist.astype(jnp.int32))
     ptm = jnp.full((NC8, NP), jnp.inf, F32).at[:NC].set(ptmin.astype(F32))
     seed2 = jnp.zeros((1, 2), jnp.int32).at[0].set(seed.astype(jnp.int32))
 
+    if grid_live is None:
+        grid_n = NC
+    else:
+        grid_n = jnp.clip(grid_live.astype(jnp.int32), 1, NC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(NC,),
+        grid=(grid_n,),
         in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 1 + NP), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, NP), lambda i: (i // 8, 0),
@@ -509,6 +539,9 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
                           fixed_rng=fixed_rng, weight_cutoff=weight_cutoff),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
+        # state aliases the output so dynamic-grid tail blocks keep their
+        # bits (the _skip pass-through's identity)
+        input_output_aliases={4: 0},
         interpret=interpret,
-    )(meta, ptm, seed2, state.astype(F32), PK)[0]
+    )(flags, meta, ptm, seed2, state.astype(F32), PK)[0]
     return out

@@ -1,0 +1,613 @@
+"""HBM-streamed banked per-lane traversal — the unbounded-scene regime.
+
+The banked per-lane kernel (ops/intersect_perlane.py) keeps its gather
+tables VMEM-resident, which caps the scene at MAX_BANKS*128 pages and
+~262k triangle slots (engine table budget).  Beyond that, round 3 fell
+back to the chunk-union kernel for bounce waves — correct but structurally
+slow for scattered rays (the whole reason the per-lane path exists) and
+unmeasured.  This module removes the cap the TPU way:
+
+  - the per-bank gather tables live in HBM ([NB, 17P, 128] / [NB, 7P, 128],
+    any NB) and are DMA'd into a VMEM scratch ONE BANK AT A TIME, exactly
+    like the union kernel streams triangle pages (intersect_pallas
+    _trace_pages);
+  - each chunk walks its PERSONAL bank worklist FRONT-TO-BACK: a bank-level
+    slab test ([NB, RB], the page slab test one level up) gives every
+    lane's bank entry distances; a while-loop repeatedly picks the bank
+    with the globally nearest remaining entry, DMAs its tables, and runs
+    the standard in-bank per-lane traversal (page slabs from the
+    VMEM-resident fine-page AABB table + gather/predicate/winner loop,
+    the same math as intersect_perlane._group);
+  - the cross-bank front-to-back cut is bit-exact: a bank's AABB contains
+    its pages' AABBs, so bank_tlo <= page_tlo <= any hit t in the bank —
+    once every lane's best_t beats a bank's entry, that bank can be
+    dropped (the same argument as the per-page cut, one level up).
+    Winner (t, id) therefore equals the resident banked kernel's and the
+    union kernel's bitwise (lexicographic (t, id) ties are visit-order
+    independent);
+  - winner PAYLOAD extraction cannot wait for the end (the winning bank's
+    table would be gone from VMEM), so each bank-visit re-extracts the
+    payload rows for lanes whose running winner lives in THIS bank,
+    overwriting earlier banks' rows.  A lane's final extraction happens at
+    its final winner's visit — identical values to a single extraction at
+    the end (same table, same predicate, same masked reduce).
+
+The in-chunk count sort (intersect_perlane step 2) is kept, with the key
+REPLACED by the lane's primary BANK from the bank-level slab (fine
+per-bank page counts would need every bank's page slab up front — the
+very thing streaming avoids).  Groups become bank-homogeneous, so most
+bank-visits touch 1-2 of the chunk's 8 groups and the per-group
+`jnp.any` gates skip the rest.
+
+Structural reference: the reference's scale-free octree traversal
+(raytrace.rs:790-845, depth <= 10 at any triangle count) — rebuilt as a
+two-level (bank -> page) worklist over KD-ordered pages with the level-0
+tables streamed from HBM.  The engine selects this path automatically
+when the scene exceeds the resident-table budget (engine.Engine).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compact import (STATE_ROWS, _gather_lanes, _onehot,
+                      _src_index_from_onehot)
+from .intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
+                               ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS)
+from .intersect_perlane import (GROUP, N_INT, N_SHD, PAGES_PER_STEP, _slab,
+                                build_perlane_tables)
+from .pages import PACK_LANES, PageTables
+from .shade import _shade_state_rows, scatter_rv
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+
+def build_streamed_tables(pages: PageTables):
+    """Bank tables for the streamed kernel — build_perlane_tables' layout
+    with NO bank cap, reshaped so one bank is one HBM slab:
+
+      plt_i   [NB, N_INT*P, 128] f32   intersect features, pages on lanes
+      plt_s   [NB, N_SHD*P, 128] f32   shade features
+      ab      [NB*128, 128] f32        fine page AABBs (lanes 0..2 lo,
+                                       3..5 hi, 6 valid)
+      bank_ab [NB8, 128] f32           bank AABBs (union of the bank's
+                                       pages; same lane layout), NB8 = NB
+                                       padded to a multiple of 8 sublanes
+    """
+    import rust_raytrace_tpu.ops.intersect_perlane as perlane
+
+    NP = pages.num_pages
+    NB = -(-NP // GROUP)
+    # reuse the resident builder with the cap lifted for this call
+    old = perlane.MAX_BANKS
+    try:
+        perlane.MAX_BANKS = NB
+        plt_i, plt_s, ab = build_perlane_tables(pages)
+    finally:
+        perlane.MAX_BANKS = old
+    P = pages.page_size
+    plt_i = plt_i.reshape(NB, N_INT * P, GROUP)
+    plt_s = plt_s.reshape(NB, N_SHD * P, GROUP)
+
+    NB8 = -(-NB // 8) * 8
+    bank_ab = np.zeros((NB8, PACK_LANES), np.float32)
+    for b in range(NB):
+        lo = pages.aabb_lo[b * GROUP:(b + 1) * GROUP]
+        hi = pages.aabb_hi[b * GROUP:(b + 1) * GROUP]
+        ok = np.isfinite(lo).all(axis=1)
+        if not ok.any():
+            continue
+        bank_ab[b, 0:3] = lo[ok].min(axis=0)
+        bank_ab[b, 3:6] = hi[ok].max(axis=0)
+        bank_ab[b, 6] = 1.0
+    return plt_i, plt_s, ab, bank_ab
+
+
+def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
+                     P: int, any_hit: bool, extract_payload: bool):
+    """In-bank per-lane traversal for one 128-ray group, bank tables in
+    VMEM scratch (`plt_b`/`plts_b` values), fine-page AABBs in `ab_b`
+    ([128, lanes] value sliced at the bank's dynamic offset), dynamic bank
+    index `b_f` (f32 scalar).  Winner rides the sb scratch rows 0..2
+    (best_t/id/pg over the FULL chunk — this pass reads/writes its `sl`
+    columns); payload extraction OVERWRITES S rows for lanes whose running
+    winner is in this bank.  Math identical to intersect_perlane._group
+    (the bit-exactness contract's anchor)."""
+    valid = a1[0:1, :] != 0.0
+
+    page_f2 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP),
+                                       0).astype(F32)
+    o0, o1, o2 = (o3[k:k + 1, :] for k in range(3))
+    d0, d1, d2 = (d3[k:k + 1, :] for k in range(3))
+
+    def feat(G, f):
+        return G[f * P:(f + 1) * P, :]
+
+    def dot3(G, f0, r0, r1, r2):
+        return (feat(G, f0) * r0 + feat(G, f0 + 1) * r1
+                + feat(G, f0 + 2) * r2)
+
+    def predicate(G, has):
+        md_n = dot3(G, 0, d0, d1, d2)
+        t = (feat(G, 12) - dot3(G, 0, o0, o1, o2)) / md_n
+        dv0 = dot3(G, 3, o0, o1, o2) + t * dot3(G, 3, d0, d1, d2) \
+            - feat(G, 13)
+        dv1 = dot3(G, 6, o0, o1, o2) + t * dot3(G, 6, d0, d1, d2) \
+            - feat(G, 14)
+        dv2 = dot3(G, 9, o0, o1, o2) + t * dot3(G, 9, d0, d1, d2) \
+            - feat(G, 15)
+        ids = feat(G, 16)
+        ok = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0) & has
+        if excl is not None:
+            ok = ok & (ids != excl[0:1, :])
+        return t, ok, ids, md_n, (dv0, dv1, dv2)
+
+    best_t = sb[0:1, sl]
+    best_id = sb[1:2, sl]
+    best_pg = sb[2:3, sl]
+
+    tlo, thi, page_ok = _slab(ab_b, o3, d3)          # [128, 128]
+    hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok
+    # cross-bank front-to-back cut + any_hit early exit (always gated:
+    # the bank worklist may hand us any bank after the first)
+    hit = hit & (tlo <= best_t)
+    if any_hit:
+        hit = hit & (best_id == 0.0)
+    hit_f0 = hit.astype(F32)
+
+    def select_nearest(hit_f, tkey_mask_pages=()):
+        tkey = jnp.where(hit_f > 0.0, tlo, jnp.inf)
+        for mp in tkey_mask_pages:
+            tkey = jnp.where(page_f2 == mp, jnp.inf, tkey)
+        kmin = jnp.min(tkey, axis=0, keepdims=True)
+        has = kmin < jnp.inf
+        pidx = jnp.where(
+            has,
+            jnp.min(jnp.where(tkey == kmin, page_f2, F32(GROUP)),
+                    axis=0, keepdims=True),
+            F32(GROUP))
+        return has, pidx, kmin
+
+    def test_page(has, pidx, best_t, best_id, best_pg):
+        page = jnp.where(has, pidx, 0.0)
+        idx = jnp.broadcast_to(page.astype(jnp.int32), plt_b.shape)
+        G = jnp.take_along_axis(plt_b, idx, axis=1)
+        t, ok, ids, _, _ = predicate(G, has)
+        tt = jnp.where(ok, t, jnp.inf)
+        pmin = jnp.min(tt, axis=0, keepdims=True)
+        pid = jnp.min(jnp.where(tt == pmin, ids, jnp.inf), axis=0,
+                      keepdims=True)
+        upd = (pmin < best_t) | ((pmin == best_t) & ~jnp.isinf(pmin)
+                                 & (pid < best_id))
+        best_t = jnp.where(upd, pmin, best_t)
+        best_id = jnp.where(upd, pid, best_id)
+        best_pg = jnp.where(upd, page + b_f * F32(GROUP), best_pg)
+        return best_t, best_id, best_pg
+
+    def body(carry):
+        work, hit_f, best_t, best_id, best_pg = carry
+        del work
+        if any_hit:
+            pidx = jnp.min(jnp.where(hit_f > 0.0, page_f2, F32(GROUP)),
+                           axis=0, keepdims=True)
+            has = pidx < F32(GROUP)
+            best_t, best_id, best_pg = test_page(
+                has, pidx, best_t, best_id, best_pg)
+            keep = (page_f2 != pidx) & (tlo <= best_t) & (best_id == 0.0)
+            hit_f = hit_f * keep.astype(F32)
+            return (jnp.max(hit_f), hit_f, best_t, best_id, best_pg)
+        hasA, pidxA, _ = select_nearest(hit_f)
+        best_t, best_id, best_pg = test_page(
+            hasA, pidxA, best_t, best_id, best_pg)
+        extra = [pidxA]
+        for _ in range(PAGES_PER_STEP - 1):
+            hasB, pidxB, ktloB = select_nearest(hit_f, extra)
+            hasB = hasB & (ktloB <= best_t)
+            best_t, best_id, best_pg = test_page(
+                hasB, pidxB, best_t, best_id, best_pg)
+            extra.append(pidxB)
+        keep = tlo <= best_t
+        for p in extra:
+            keep = keep & (page_f2 != p)
+        hit_f = hit_f * keep.astype(F32)
+        return jnp.max(hit_f), hit_f, best_t, best_id, best_pg
+
+    def cond(carry):
+        return carry[0] > 0.0
+
+    _, _, best_t, best_id, best_pg = jax.lax.while_loop(
+        cond, body, (jnp.max(hit_f0), hit_f0, best_t, best_id, best_pg))
+
+    sb[0:1, sl] = best_t
+    sb[1:2, sl] = best_id
+    sb[2:3, sl] = best_pg
+
+    if not extract_payload:
+        return
+
+    # --- payload extraction-overwrite: lanes whose RUNNING winner is in
+    # this bank (such a lane was necessarily updated during this visit; a
+    # later bank that beats it overwrites again, so the final write is
+    # from the final winner's table — bit-identical to a single extraction
+    # at the end) ---
+    in_b = (best_id != 0.0) & (best_pg >= b_f * F32(GROUP)) \
+        & (best_pg < (b_f + 1.0) * F32(GROUP))
+
+    @pl.when(jnp.any(in_b))
+    def _extract():
+        local = jnp.clip(best_pg - b_f * F32(GROUP), 0.0, F32(GROUP - 1))
+        idxw = jnp.broadcast_to(local.astype(jnp.int32), plt_b.shape)
+        Gw = jnp.take_along_axis(plt_b, idxw, axis=1)
+        idxs = jnp.broadcast_to(local.astype(jnp.int32), plts_b.shape)
+        Gs = jnp.take_along_axis(plts_b, idxs, axis=1)
+
+        t, ok, ids, md_n, (dv0, dv1, dv2) = predicate(Gw, in_b)
+        win = (ids == best_id) & in_b
+        wf = win.astype(F32)
+
+        def ext(v):
+            return jnp.sum(wf * v, axis=0, keepdims=True)
+
+        def featS(f):
+            return Gs[f * P:(f + 1) * P, :]
+
+        inv_et = 1.0 - featS(0)
+        edge = (dv0 > inv_et) | (dv1 > inv_et) | (dv2 > inv_et)
+        back = md_n > 0.0
+        enc = featS(1) + 4.0 * edge.astype(F32) + 8.0 * back.astype(F32)
+        for r, v in ((ROW_NORM, ext(feat(Gw, 0))),
+                     (ROW_NORM + 1, ext(feat(Gw, 1))),
+                     (ROW_NORM + 2, ext(feat(Gw, 2))),
+                     (ROW_ENC, ext(enc)),
+                     (ROW_COLOR, ext(featS(2))),
+                     (ROW_COLOR + 1, ext(featS(3))),
+                     (ROW_COLOR + 2, ext(featS(4))),
+                     (ROW_ALPHA, ext(featS(5))),
+                     (ROW_SCAT, ext(featS(6)))):
+            S[r:r + 1, sl] = jnp.where(in_b, v, S[r:r + 1, sl])
+
+
+def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
+                          plt_s_hbm, S, sb, tkey_s, bi_buf, bs_buf, sem_i,
+                          sem_s, klt, subf, *, P: int, RB: int, NB: int,
+                          NB8: int, any_hit: bool, sort_lanes: bool,
+                          extract_payload: bool):
+    """Bank-worklist traversal of one chunk.  Winner rows land in S
+    [16, RB] in SORTED lane order; returns the destination map `dest`
+    [1, RB] when sort_lanes (caller inverts with a lane gather), else
+    None."""
+    valid = a1[0:1, :] != 0.0
+    bank_iota = jax.lax.broadcasted_iota(jnp.int32, (NB8, RB),
+                                         0).astype(F32)
+
+    dest = None
+    if sort_lanes:
+        # --- in-chunk sort by PRIMARY BANK (bank-level slab key): groups
+        # become bank-homogeneous so each bank-visit touches 1-2 groups.
+        # Dead/sky lanes sort last.  (Fine per-bank page counts — the
+        # resident kernel's key — would need every bank's page slab up
+        # front, defeating the streaming.) ---
+        btlo, bthi, bok = _slab(bank_ab_ref[:], o3, d3)      # [NB8, RB]
+        bhit = (btlo <= bthi) & (bthi >= 0.0) & valid & bok
+        pb = jnp.min(jnp.where(bhit, bank_iota, F32(NB8)),
+                     axis=0, keepdims=True)                  # [1, RB]
+        qsum = jnp.where(valid, pb, F32(NB8 + 1))
+        nbk = NB8 + 2
+        masks = jnp.concatenate(
+            [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
+             for q in range(nbk)], axis=0)                   # [nbk, RB]
+        ranks = jax.lax.dot_general(
+            masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)
+        tot = jnp.sum(masks, axis=1, keepdims=True)
+        dest = jnp.zeros_like(qsum)
+        base = F32(0.0)
+        for q in range(nbk):
+            dest = dest + masks[q:q + 1] * (base + ranks[q:q + 1])
+            base = base + tot[q, 0]
+        M = _onehot(dest, jnp.ones_like(dest), RB, subf)
+        srcidx = _src_index_from_onehot(M, RB)
+        in8 = jnp.concatenate(
+            [o3, d3, a1[0:1, :],
+             excl[0:1, :] if excl is not None else a1[0:1, :]], axis=0)
+        p8 = _gather_lanes(in8, srcidx, RB)
+        o3, d3 = p8[0:3], p8[3:6]
+        a1 = p8[6:7]
+        excl = p8[7:8] if excl is not None else None
+        valid = a1[0:1, :] != 0.0
+
+    # bank slab on the (possibly permuted) lanes -> the bank worklist
+    btlo, bthi, bok = _slab(bank_ab_ref[:], o3, d3)
+    bhit = (btlo <= bthi) & (bthi >= 0.0) & valid & bok
+    tkey_s[:] = jnp.where(bhit, btlo, jnp.inf)
+
+    S[0:1, :] = jnp.where(valid, jnp.inf, -jnp.inf)
+    S[1:TRACE_ROWS, :] = jnp.zeros_like(S[1:TRACE_ROWS, :])
+    sb[0:1, :] = jnp.where(valid, jnp.inf, -jnp.inf)
+    sb[1:2, :] = jnp.zeros_like(sb[1:2, :])
+    sb[2:3, :] = jnp.zeros_like(sb[2:3, :])
+
+    def cond(carry):
+        return carry[1] < jnp.inf
+
+    def body(carry):
+        it, m = carry
+        # globally nearest remaining bank (front-to-back across banks —
+        # raytrace.rs:941-947 one level up)
+        tk = tkey_s[:]
+        bmin = jnp.min(tk, axis=1, keepdims=True)            # [NB8, 1]
+        b_f = jnp.min(jnp.where(bmin == m,
+                                bank_iota[:, 0:1], F32(NB8)))
+        b = b_f.astype(jnp.int32)
+        cp_i = pltpu.make_async_copy(plt_i_hbm.at[b], bi_buf, sem_i)
+        cp_s = pltpu.make_async_copy(plt_s_hbm.at[b], bs_buf, sem_s)
+        cp_i.start()
+        cp_s.start()
+        # per-lane demand for THIS bank (computed while the DMA flies)
+        lanes_b = jnp.sum(
+            jnp.where((bank_iota == b_f) & (tk < jnp.inf), F32(1.0),
+                      F32(0.0)), axis=0, keepdims=True)      # [1, RB]
+        ab_b = ab_ref[pl.ds(b * GROUP, GROUP), :]
+        cp_i.wait()
+        cp_s.wait()
+        plt_b = bi_buf[:]
+        plts_b = bs_buf[:]
+        for g in range(RB // GROUP):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+
+            @pl.when(jnp.any(lanes_b[0:1, sl] > 0.0))
+            def _g(sl=sl):
+                _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3[:, sl],
+                                 d3[:, sl], a1[:, sl],
+                                 excl[:, sl] if excl is not None else None,
+                                 sb, S, sl, P, any_hit, extract_payload)
+        # retire this bank; drop banks no lane can improve in (bank entry
+        # beyond the lane's best: bit-exact, see module docstring); any_hit
+        # lanes with a hit stop demanding banks entirely
+        best_t = sb[0:1, :]
+        tk = tkey_s[:]
+        tk = jnp.where(bank_iota == b_f, jnp.inf, tk)
+        tk = jnp.where(tk <= best_t, tk, jnp.inf)
+        if any_hit:
+            tk = jnp.where(sb[1:2, :] == 0.0, tk, jnp.inf)
+        tkey_s[:] = tk
+        return it + 1, jnp.min(tk)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.min(tkey_s[:])))
+
+    S[ROW_T:ROW_T + 1, :] = sb[0:1, :]
+    S[ROW_ID:ROW_ID + 1, :] = sb[1:2, :]
+    return dest
+
+
+def _kernel_streamed(flags_ref, o_ref, d_ref, a_ref, excl_ref, bank_ab_ref,
+                     ab_ref, plt_i_hbm, plt_s_hbm, out_ref, S, sb, tkey_s,
+                     bi_buf, bs_buf, sem_i, sem_s, klt_s, subf_s, *,
+                     page_size: int, ray_chunk: int, nb: int, nb8: int,
+                     exclude_id: bool, any_hit: bool, sort_lanes: bool):
+    row = jax.lax.rem(pl.program_id(0), 8)
+    out_ref[:] = jnp.zeros_like(out_ref)
+    _sort_scratch_build(klt_s, subf_s, ray_chunk, sort_lanes)
+
+    @pl.when(flags_ref[row, 0] != 0)
+    def _busy():
+        dest = _streamed_trace_chunk(
+            o_ref[:], d_ref[:], a_ref[:],
+            excl_ref[:] if exclude_id else None, bank_ab_ref, ab_ref,
+            plt_i_hbm, plt_s_hbm, S, sb, tkey_s, bi_buf, bs_buf, sem_i,
+            sem_s, klt_s[:] if sort_lanes else None,
+            subf_s[:] if sort_lanes else None, P=page_size, RB=ray_chunk,
+            NB=nb, NB8=nb8, any_hit=any_hit, sort_lanes=sort_lanes,
+            extract_payload=not any_hit)
+        if sort_lanes:
+            out_ref[:] = _gather_lanes(S[:], dest, ray_chunk)
+        else:
+            out_ref[:] = S[:]
+
+
+def _kernel_streamed_fused(flags_ref, seed_ref, st_ref, bank_ab_ref, ab_ref,
+                           plt_i_hbm, plt_s_hbm, out_ref, S, sb, tkey_s,
+                           bi_buf, bs_buf, sem_i, sem_s, klt_s, subf_s, *,
+                           page_size: int, ray_chunk: int, nb: int,
+                           nb8: int, fixed_rng: bool, weight_cutoff: float,
+                           sort_lanes: bool):
+    """Fused trace + shade for bounce (and primary) waves in the streamed
+    regime: winner rows never leave VMEM (same fusion rationale as
+    intersect_perlane._kernel_fused).  Lights configs stay UNFUSED in this
+    regime (the shadow pass runs as a separate any_hit streamed trace
+    between trace and shade — a second in-kernel bank sweep would double
+    the worklist machinery for one scene class)."""
+    pid = pl.program_id(0)
+    row = jax.lax.rem(pid, 8)
+    live = flags_ref[row, 0] != 0
+    _sort_scratch_build(klt_s, subf_s, ray_chunk, sort_lanes)
+
+    @pl.when(jnp.logical_not(live))
+    def _skip():
+        out_ref[:] = st_ref[:]
+
+    @pl.when(live)
+    def _busy():
+        st = st_ref[:]
+        dest = _streamed_trace_chunk(
+            st[0:3], st[3:6], st[7:8], None, bank_ab_ref, ab_ref,
+            plt_i_hbm, plt_s_hbm, S, sb, tkey_s, bi_buf, bs_buf, sem_i,
+            sem_s, klt_s[:] if sort_lanes else None,
+            subf_s[:] if sort_lanes else None, P=page_size, RB=ray_chunk,
+            NB=nb, NB8=nb8, any_hit=False, sort_lanes=sort_lanes,
+            extract_payload=True)
+        rows = _gather_lanes(S[:], dest, ray_chunk) if sort_lanes else S[:]
+        rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid,
+                                   ray_chunk, fixed_rng)
+        out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, None,
+                                       weight_cutoff)
+
+
+def _sort_scratch_build(klt_s, subf_s, RB: int, sort_lanes: bool):
+    if not sort_lanes:
+        return
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        subq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 0)
+        laneq = jax.lax.broadcasted_iota(jnp.int32, (RB, RB), 1)
+        klt_s[:] = (laneq < subq).astype(BF16)
+        subf_s[:] = subq.astype(F32)
+
+
+def _common_scratch(P: int, RB: int, NB8: int, sort_lanes: bool):
+    return [
+        pltpu.VMEM((TRACE_ROWS, RB), F32),            # S winner rows
+        pltpu.VMEM((8, RB), F32),                     # sb best t/id/pg
+        pltpu.VMEM((NB8, RB), F32),                   # tkey bank worklist
+        pltpu.VMEM((N_INT * P, GROUP), F32),          # bank intersect buf
+        pltpu.VMEM((N_SHD * P, GROUP), F32),          # bank shade buf
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), BF16),
+        pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), F32),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
+                                             "interpret", "any_hit",
+                                             "sort_lanes"))
+def trace_streamed_pallas(OT, DT, alive, plt_i, plt_s, ab, bank_ab,
+                          page_size: int, ray_chunk: int, chunk_live=None,
+                          interpret: bool = False, excl=None,
+                          any_hit: bool = False, sort_lanes=None):
+    """Streamed-bank per-lane nearest hit (or any_hit occlusion) + winner
+    state.  Same output contract as trace_perlane_pallas / the union
+    kernel: OUT [16, R] (rows ROW_*); with any_hit the payload rows are
+    NOT extracted (ROW_T/ROW_ID only — occlusion callers read just
+    ROW_ID).
+
+    plt_i/plt_s: [NB, 17P/7P, 128] HBM bank tables; ab [NB*128, 128] fine
+    page AABBs (VMEM resident); bank_ab [NB8, 128] bank AABBs (from
+    build_streamed_tables, device arrays).
+    """
+    if sort_lanes is None:
+        sort_lanes = ray_chunk >= 2 * GROUP
+    assert ray_chunk % GROUP == 0
+    RB = ray_chunk
+    R = OT.shape[1]
+    NC = R // RB
+    NB = plt_i.shape[0]
+    NB8 = bank_ab.shape[0]
+
+    if chunk_live is None:
+        chunk_live = jnp.ones((NC,), jnp.int32)
+    NC8 = -(-NC // 8) * 8
+    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+        chunk_live.astype(jnp.int32))
+    arow = alive.astype(F32)[None, :]
+    exclude_id = excl is not None
+
+    P = page_size
+    in_specs = [
+        pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB8, PACK_LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB * GROUP, PACK_LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [flags, OT.astype(F32), DT.astype(F32), arow,
+            excl.astype(F32) if exclude_id else arow,
+            bank_ab, ab, plt_i, plt_s]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NC,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((TRACE_ROWS, RB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=_common_scratch(P, RB, NB8, sort_lanes),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_streamed, page_size=P, ray_chunk=RB,
+                          nb=NB, nb8=NB8, exclude_id=exclude_id,
+                          any_hit=any_hit, sort_lanes=sort_lanes),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
+        interpret=interpret,
+    )(*args)[0]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
+                                             "fixed_rng", "weight_cutoff",
+                                             "interpret", "sort_lanes"))
+def trace_shade_streamed_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
+                                page_size: int, ray_chunk: int,
+                                fixed_rng: bool, weight_cutoff: float,
+                                chunk_live=None, interpret: bool = False,
+                                sort_lanes=None, grid_live=None):
+    """One wave = streamed-bank trace + shade + state update, fused per
+    chunk (the streamed-regime analog of trace_shade_perlane_pallas; same
+    state contract, dynamic survivor-prefix grid, input/output aliasing
+    for unvisited tail blocks)."""
+    if sort_lanes is None:
+        sort_lanes = ray_chunk >= 2 * GROUP
+    assert ray_chunk % GROUP == 0
+    RB = ray_chunk
+    R = state.shape[1]
+    NC = R // RB
+    NB = plt_i.shape[0]
+    NB8 = bank_ab.shape[0]
+
+    if chunk_live is None:
+        chunk_live = jnp.ones((NC,), jnp.int32)
+    NC8 = -(-NC // 8) * 8
+    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+        chunk_live.astype(jnp.int32))
+    seed2 = jnp.zeros((1, 2), jnp.int32).at[0].set(seed.astype(jnp.int32))
+
+    P = page_size
+    if grid_live is None:
+        grid_n = NC
+    else:
+        grid_n = jnp.clip(grid_live.astype(jnp.int32), 1, NC)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB8, PACK_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB * GROUP, PACK_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=_common_scratch(P, RB, NB8, sort_lanes),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_streamed_fused, page_size=P, ray_chunk=RB,
+                          nb=NB, nb8=NB8, fixed_rng=fixed_rng,
+                          weight_cutoff=weight_cutoff,
+                          sort_lanes=sort_lanes),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((STATE_ROWS, R), F32)],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(flags, seed2, state.astype(F32), bank_ab, ab, plt_i, plt_s)[0]
+    return out

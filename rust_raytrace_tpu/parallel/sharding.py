@@ -89,7 +89,8 @@ def shard_rays(o, d, mesh: Mesh):
 def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                           maxdepth: int, interpret: bool = False,
                           fixed_rng: bool = False, compact: bool = False,
-                          spp: int = 1, pk0=None, quantize: bool = True):
+                          spp: int = 1, pk0=None, quantize: bool = True,
+                          want_primary: bool = False):
     """The production engine's full multi-wave render, sharded over chips.
 
     o, d: [3, R] tile-order rays with R divisible by mesh size x ray_chunk.
@@ -116,6 +117,11 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
     shards (tile_permutation emits a pixel's spp samples contiguously and
     the per-shard ray count must be a multiple of spp — asserted).
 
+    `want_primary` additionally returns the per-ray primary hit (t, id)
+    buffers ([2, R] sharded on rays) — the differ surface (debug.rs:
+    150-222) for multi-chip renders; each shard's wave-0 trace records its
+    own slice, so the buffers equal the unsharded render()'s bitwise.
+
     On a real multi-chip TPU this runs the Pallas kernel per chip; for
     virtual CPU meshes pass interpret=True.
     """
@@ -137,11 +143,13 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
     has_pk0 = pk0 is not None
     pargs = (pk0,) if has_pk0 else ()
 
+    primary_spec = (P(None, TILE_AXIS),) if want_primary else ()
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, TILE_AXIS), P(None, TILE_AXIS),
                   P(TILE_AXIS), P()) + (P(),) * (len(largs) + len(pargs)),
-        out_specs=(P(None, TILE_AXIS), P()),
+        out_specs=(P(None, TILE_AXIS), P()) + primary_spec,
         # pallas_call out_shapes carry no varying-mesh-axes metadata
         check_vma=False,
     )
@@ -154,28 +162,35 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
         key_sh = jax.random.fold_in(key_rep, jax.lax.axis_index(TILE_AXIS))
         wc = 0.0 if fixed_rng else engine.weight_cutoff
         if compact:
-            img, wave_counts, _, _ = _render_device_compact(
+            img, wave_counts, primary, _ = _render_device_compact(
                 st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
                 maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
                 page_size=engine.page_size, fixed_rng=fixed_rng,
-                interpret=interpret, want_primary=False, quantize=quantize,
+                interpret=interpret, want_primary=want_primary,
+                quantize=quantize,
                 has_lights=has_lights, light_orig=light_orig,
                 light_len2=light_len2, weight_cutoff=wc, pk0=pk0_sh,
                 nbuf=engine.nbuf, bounce_rb=engine.bounce_chunk,
                 plt_i=engine.plt_i, plt_s=engine.plt_s, ab_tab=engine.ab_tab,
+                slt_i=engine.slt_i, slt_s=engine.slt_s, s_ab=engine.s_ab,
+                s_bank_ab=engine.s_bank_ab,
                 ncompact=engine.ncompact, spp=spp,
                 gate_frac=engine.gate_frac)
         else:
-            img, wave_counts, _ = _render_device(
+            img, wave_counts, primary = _render_device(
                 st, lo, hi, o_sh, d_sh, alive_sh, key_sh,
                 maxdepth=maxdepth, ray_chunk=engine.ray_chunk,
                 page_size=engine.page_size, fixed_rng=fixed_rng,
-                interpret=interpret, want_primary=False, quantize=quantize,
+                interpret=interpret, want_primary=want_primary,
+                quantize=quantize,
                 spp=spp, has_lights=has_lights, light_orig=light_orig,
                 light_len2=light_len2, weight_cutoff=wc, pk0=pk0_sh,
                 bounce_chunk=engine.bounce_chunk, nbuf=engine.nbuf,
                 exact_cull=engine.exact_cull)
-        return img, jax.lax.psum(wave_counts, TILE_AXIS)
+        out = (img, jax.lax.psum(wave_counts, TILE_AXIS))
+        if want_primary:
+            out = out + (primary,)
+        return out
 
     return step(engine.tensors, engine.aabb_lo, engine.aabb_hi, o, d, alive,
                 key, *largs, *pargs)

@@ -71,6 +71,8 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                             if lights is not None else None),
                 weight_cutoff=eng.weight_cutoff, pk0=pk0, nbuf=eng.nbuf,
                 plt_i=eng.plt_i, plt_s=eng.plt_s, ab_tab=eng.ab_tab,
+                slt_i=eng.slt_i, slt_s=eng.slt_s, s_ab=eng.s_ab,
+                s_bank_ab=eng.s_bank_ab,
                 ncompact=eng.ncompact, bounce_rb=eng.bounce_chunk,
                 gate_frac=eng.gate_frac,
                 **({} if cb is None else {"cb": cb}))[:2]

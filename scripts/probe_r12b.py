@@ -133,17 +133,20 @@ def pred_peak():
         for k in range(K):
             # rep-dependent rays, NON-vanishing (1e-30 is below ulp of an
             # N(0,1) value and CSE folded all reps into one — first run of
-            # this probe measured an impossible 190 Gtests/s).  Perturbing
-            # o AND d makes every dot3 term k-dependent, mirroring the
-            # production structure where the PAGE changes every step (no
-            # term is hoistable there either).
-            od0 = o0 + F32(0.001) * k
-            dd0 = d0 + F32(0.001) * k
-            md_n = dot3(0, dd0, d1, d2)
-            t = (feat(12) - dot3(0, od0, o1, o2)) / md_n
-            dv0 = dot3(3, od0, o1, o2) + t * dot3(3, dd0, d1, d2) - feat(13)
-            dv1 = dot3(6, od0, o1, o2) + t * dot3(6, dd0, d1, d2) - feat(14)
-            dv2 = dot3(9, od0, o1, o2) + t * dot3(9, dd0, d1, d2) - feat(15)
+            # this probe measured an impossible 190 Gtests/s), on ALL SIX
+            # ray components (perturbing only component 0 left feat*o1,
+            # feat*o2, feat*d1, feat*d2 products k-invariant and hoistable
+            # across reps — measured another impossible 86.6 Gtests/s =
+            # 6x the chip's own instruction rate).  In production the PAGE
+            # changes every step, so no product is hoistable there; this
+            # makes the microbenchmark's marginal work match.
+            ok_ = [r + F32(0.001) * k for r in (o0, o1, o2)]
+            dk_ = [r + F32(0.001) * k for r in (d0, d1, d2)]
+            md_n = dot3(0, *dk_)
+            t = (feat(12) - dot3(0, *ok_)) / md_n
+            dv0 = dot3(3, *ok_) + t * dot3(3, *dk_) - feat(13)
+            dv1 = dot3(6, *ok_) + t * dot3(6, *dk_) - feat(14)
+            dv2 = dot3(9, *ok_) + t * dot3(9, *dk_) - feat(15)
             ids = feat(16)
             ok = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
             tt = jnp.where(ok, t, jnp.inf)

@@ -47,6 +47,63 @@ GROUP = 128
 PPS = 2
 
 
+def nearest_hit_fast(O, D, pages, chunk=32768):
+    """Brute-force nearest hit, jax-jitted on CPU (XLA vectorizes and
+    multithreads what the numpy reference model grinds through serially —
+    the first run of this probe spent ~30 min PER WAVE in
+    nearest_hit_model at HD).  Same lexicographic (t, id) rule as the
+    production kernels; differential-tested against nearest_hit_model on
+    the first chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    PK = jnp.asarray(pages.PK)      # [NP, P, 128]
+
+    @jax.jit
+    def run(o, d):                  # o, d: [r, 3]
+        o0, o1, o2 = o[:, 0][None], o[:, 1][None], o[:, 2][None]
+        d0, d1, d2 = d[:, 0][None], d[:, 1][None], d[:, 2][None]
+
+        def page(carry, pk):        # pk [P, 128]
+            best_t, best_id = carry
+
+            def col(lane):
+                return pk[:, lane:lane + 1]
+
+            def dot3(lane, r0, r1, r2):
+                return col(lane) * r0 + col(lane + 1) * r1 \
+                    + col(lane + 2) * r2
+
+            t = (col(12) - dot3(0, o0, o1, o2)) / dot3(0, d0, d1, d2)
+            dv0 = dot3(3, o0, o1, o2) + t * dot3(3, d0, d1, d2) - col(13)
+            dv1 = dot3(6, o0, o1, o2) + t * dot3(6, d0, d1, d2) - col(14)
+            dv2 = dot3(9, o0, o1, o2) + t * dot3(9, d0, d1, d2) - col(15)
+            ok = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
+            tt = jnp.where(ok, t, jnp.inf)
+            pmin = jnp.min(tt, axis=0)
+            pid = jnp.min(jnp.where(tt == pmin[None], col(16), jnp.inf),
+                          axis=0)
+            upd = (pmin < best_t) | ((pmin == best_t) & jnp.isfinite(pmin)
+                                     & (pid < best_id))
+            return (jnp.where(upd, pmin, best_t),
+                    jnp.where(upd, pid, best_id)), None
+
+        r = o.shape[0]
+        init = (jnp.full((r,), jnp.inf, jnp.float32),
+                jnp.zeros((r,), jnp.float32))
+        (bt, bi), _ = jax.lax.scan(page, init, PK)
+        return bt, bi
+
+    R = O.shape[0]
+    bt = np.empty(R, F32)
+    bi = np.empty(R, np.int32)
+    for s in range(0, R, chunk):
+        t, i = run(jnp.asarray(O[s:s + chunk]), jnp.asarray(D[s:s + chunk]))
+        bt[s:s + chunk] = np.asarray(t)
+        bi[s:s + chunk] = np.asarray(i).astype(np.int32)
+    return bt, bi
+
+
 def slab_hits(pages, O, D, chunk=65536):
     """(ent [R, NP] bool, tlo [R, NP] f32) in ray chunks."""
     R = O.shape[0]
@@ -178,7 +235,7 @@ def simulate(name, scene, vp, P, maxdepth=5, weight_cutoff=1 / 512,
     rows = []
     for wave in range(maxdepth):
         ent, tlo = slab_hits(pages, O, D)
-        t, hid = nearest_hit_model(O, D, pages)
+        t, hid = nearest_hit_fast(O, D, pages)
         thit = np.where(hid != 0, t, np.inf).astype(F32)
         n_alive = int(alive.sum())
         if wave == 0:
@@ -230,6 +287,12 @@ def simulate(name, scene, vp, P, maxdepth=5, weight_cutoff=1 / 512,
 def main():
     from rust_raytrace_tpu.models import multi, teapot
 
+    # HD, not lower: wave-0 union tests/ray are resolution-SENSITIVE (a
+    # chunk's camera tile covers 4x the solid angle at half the
+    # resolution -> looser page unions: 569/ray at 640x360 vs 123/ray at
+    # HD for teapot).  HD is the closest tractable stand-in for the
+    # bench's 2k (whose tiles are tighter still, so utilization computed
+    # from HD constants READS HIGH for wave 0 — stated in PERF.md).
     scene, _ = teapot.build(resolution="2k")
     vp = create_viewport((1280, 720), (1.6, 0.9), (2.0, 0.0, 0.0),
                          m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 5, 1)

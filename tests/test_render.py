@@ -159,18 +159,20 @@ def test_engine_render_banded_bitexact(small_scene, vp):
 def test_engine_render_odd_spp_quantized_compact(small_scene):
     """Odd spp (here 3): quantize=True must still yield a u8 image and the
     COMPACT path must still engage — the padding quantum is bumped to an
-    spp-divisible size (render()/render_banded() quantum rule) instead of
-    silently falling back to a float image on the legacy pipeline.  The u8
-    bytes must equal host quantization of the float render (same program
-    association: the box filter is an explicit left-to-right chain)."""
-    from rust_raytrace_tpu.engine import Engine
+    spp-divisible size (render()/render_banded() lcm quantum rule).  The u8
+    bytes must equal host quantization of the float render: 1/3 is inexact
+    in f32 (XLA's reciprocal-multiply flipped boundary pixels by 1 u8 step,
+    ADVICE r3), so non-power-of-two spp renders float on device and
+    quantizes on host (_device_quantizable)."""
+    from rust_raytrace_tpu.engine import Engine, _device_quantizable
     from rust_raytrace_tpu.utils.png import quantize_u8
 
+    assert not _device_quantizable(3)
     vp3 = create_viewport((48, 32), (1.0, 32 / 48), (0.0, 0.0, 0.0),
                           m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 4, 3)
     eng = Engine(small_scene, page_size=64, ray_chunk=128, interpret=True)
     R0 = 48 * 32 * 3
-    quantum = 128 * 3                       # bumped: 128 % 3 != 0
+    quantum = 384                           # lcm(128, 3)
     R = -(-R0 // quantum) * quantum
     assert eng._use_compact(R, 3)
     resq = eng.render(vp3, fixed_rng=True)
@@ -178,13 +180,38 @@ def test_engine_render_odd_spp_quantized_compact(small_scene):
     resf = eng.render(vp3, fixed_rng=True, quantize=False)
     assert resf.image.dtype == np.float32
     np.testing.assert_array_equal(resq.image, quantize_u8(resf.image))
-    # banded path: same dtype contract (band images differ from the full
-    # render at spp > 1 by design — per-band jitter keys)
+    # banded path: bit-exact vs the full render at ANY spp (position-keyed
+    # camera jitter) — u8 and float framebuffers both
     bandq = eng.render_banded(vp3, fixed_rng=True, band_rows=16)
     assert bandq.image.dtype == np.uint8
+    np.testing.assert_array_equal(bandq.image, resq.image)
     bandf = eng.render_banded(vp3, fixed_rng=True, band_rows=16,
                               quantize=False)
+    np.testing.assert_array_equal(bandf.image, resf.image)
     np.testing.assert_array_equal(bandq.image, quantize_u8(bandf.image))
+
+
+def test_engine_render_pow2_spp_device_quantized(small_scene):
+    """Power-of-two spp (here 4) keeps quantization ON DEVICE (exact 1/spp
+    reciprocal + np.mean-sequential association, _device_quantizable) and
+    stays byte-equal to host quantization of the float render — pinning
+    that the odd-spp host fallback did not silently disengage the fast
+    device path where it is provably safe (ADVICE r3)."""
+    from rust_raytrace_tpu.engine import Engine, _device_quantizable
+    from rust_raytrace_tpu.utils.png import quantize_u8
+
+    assert _device_quantizable(4) and _device_quantizable(2)
+    assert not _device_quantizable(8)       # numpy 8-way unroll reassociates
+    vp4 = create_viewport((48, 32), (1.0, 32 / 48), (0.0, 0.0, 0.0),
+                          m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 4, 4)
+    eng = Engine(small_scene, page_size=64, ray_chunk=128, interpret=True)
+    resq = eng.render(vp4, fixed_rng=True)
+    assert resq.image.dtype == np.uint8
+    resf = eng.render(vp4, fixed_rng=True, quantize=False)
+    np.testing.assert_array_equal(resq.image, quantize_u8(resf.image))
+    # banded spp=4: bit-exact vs full render on the device-quantized path
+    bandq = eng.render_banded(vp4, fixed_rng=True, band_rows=16)
+    np.testing.assert_array_equal(bandq.image, resq.image)
 
 
 def test_engine_render_banded_uneven_split(small_scene):

