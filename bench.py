@@ -32,6 +32,45 @@ import numpy as np
 
 BASELINE_MRAYS = 50.0
 
+# Intrinsic predicate-work model per config (scripts/probe_r14b.py, offline
+# CPU measurement at each config's production page size): eff_* = mean pages
+# a ray must visit under the front-to-back contract (slab-hit AND entry
+# tlo <= final hit t; raw slab-hit count for miss rays).  Utilization below
+# multiplies these by the live-measured rays/s — predicate MFU =
+# useful predicate FLOP/s vs the chip's measured VPU fp32 peak.
+FLOPS_PER_SLOT_TEST = 51    # arithmetic of the packed predicate only
+                            # (ops/intersect_perlane._group.predicate):
+                            # comparisons/selects/slab excluded — conservative
+WORK_MODEL = {
+    "teapot_2k": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869},
+    "circles_2k": {"P": 56, "eff_w0": 1.278, "eff_bounce": 1.588},
+    "teapot_512_spp4": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869},
+    "teapot_2k_shadows": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869,
+                          "eff_feeler": 1.0},
+    "teapot_4k": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869},
+    "multi_2k": {"P": 56, "eff_w0": 2.784, "eff_bounce": 4.178},
+    "synthetic_100k_2k": {"P": 112, "eff_w0": 1.442, "eff_bounce": 1.96},
+    "synthetic_1m_2k": {"P": 56, "eff_w0": 2.0, "eff_bounce": 2.5},
+}
+
+
+def predicate_mfu(cfg_name, R0, rays, dt, vpu_peak):
+    """Predicate MFU for one measured render: intrinsic predicate FLOPs
+    (WORK_MODEL) x per-wave ray counts over measured time vs measured peak.
+
+    Feeler count ~ rays - R0 (every post-wave-0 ray had a parent hit that
+    ran one fused shadow feeler; the final wave's own feelers are dropped,
+    undercounting by < 2% — conservative)."""
+    wm = WORK_MODEL.get(cfg_name)
+    if wm is None or vpu_peak is None or rays <= 0:
+        return None
+    bounce = max(rays - R0, 0)
+    pages = R0 * wm["eff_w0"] + bounce * wm["eff_bounce"]
+    if "eff_feeler" in wm:
+        pages += bounce * wm["eff_feeler"]
+    flops = pages * wm["P"] * FLOPS_PER_SLOT_TEST
+    return flops / dt / vpu_peak
+
 
 def main():
     import jax
@@ -155,12 +194,28 @@ def main():
         extras["pipelined_mrays_per_sec"] = round(dev_rays / dt / 1e6, 3)
         extras["pipelined_seconds_per_render"] = round(dt, 4)
 
+        # --- measured roofline denominators (utils/roofline.py): the
+        # per-config "intrinsic-bound" claims are reported as utilization
+        # numbers against the SAME chip's measured VPU fp32 peak
+        vpu_peak = None
+        try:
+            from rust_raytrace_tpu.utils.roofline import (measure_hbm_bw,
+                                                          measure_vpu_peak)
+            vpu_peak = measure_vpu_peak()
+            extras["vpu_fp32_peak_tflops"] = round(vpu_peak / 1e12, 2)
+            extras["hbm_bw_gbps"] = round(measure_hbm_bw() / 1e9, 1)
+        except Exception as e:
+            extras["roofline_error"] = f"{type(e).__name__}"
+        u = predicate_mfu("teapot_2k", R0, dev_rays, dev_dt, vpu_peak)
+        if u is not None:
+            extras["predicate_mfu"] = round(u, 4)
+
         # --- per-config device metrics (all five BASELINE configs) ---
         from rust_raytrace_tpu.models import circles, multi
         from rust_raytrace_tpu.models import teapot as teapot_m
         from rust_raytrace_tpu.utils.devbench import device_metric
 
-        def synthetic_100k():
+        def _sphere(nseg):
             # scale evidence: 99.9k-tri lat/lon sphere (15x the teapot) —
             # exercises the banked per-lane traversal at its auto page
             # size; the scoped-vmem option admits the ~10 MB resident
@@ -171,7 +226,7 @@ def main():
             from rust_raytrace_tpu.materials import matte
             from rust_raytrace_tpu.scene import assemble
 
-            s = make_sphere((0.0, 0.0, 10.0), 4.0, (224, 224),
+            s = make_sphere((0.0, 0.0, 10.0), 4.0, (nseg, nseg),
                             matte(m3.make_color((252, 119, 0)), 0.2), 0.0)
             vpc = create_viewport((2560, 1440), (1.6, 0.9), (0.0, 0.0, 0.0),
                                   m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0,
@@ -189,7 +244,14 @@ def main():
              None),
             ("teapot_4k", lambda: teapot_m.build(resolution="4k"), 1, None),
             ("multi_2k", lambda: multi.build(resolution="2k"), 1, None),
-            ("synthetic_100k_2k", synthetic_100k, 1, VMEM_OPT),
+            # scale evidence: 99.9k-tri lat/lon sphere (15x the teapot) —
+            # banked per-lane traversal at its auto page size (P=112)
+            ("synthetic_100k_2k", lambda: _sphere(224), 1, VMEM_OPT),
+            # ~1.0M tris: the STREAMED regime (tables in HBM, DMA'd one
+            # bank at a time — ops/intersect_streamed.py, round 4); the
+            # reference octree's scale-free property (raytrace.rs:790-845)
+            # measured at 10x the banked path's slot cap
+            ("synthetic_1m_2k", lambda: _sphere(708), 1, VMEM_OPT),
         ]
         cfg_out = {}
         for cname, build, spp, copts in cfgs:
@@ -204,6 +266,10 @@ def main():
                     "device_seconds": round(cdt, 4),
                     "rays": crays,
                 }
+                uc = predicate_mfu(cname, vpc.height * vpc.width * spp,
+                                   crays, cdt, vpu_peak)
+                if uc is not None:
+                    cfg_out[cname]["predicate_mfu"] = round(uc, 4)
             except Exception as e:   # keep the headline even if one
                 cfg_out[cname] = {"error": f"{type(e).__name__}"}
         extras["configs"] = cfg_out

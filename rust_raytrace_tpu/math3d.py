@@ -113,6 +113,53 @@ def change_basis(v, b, xp=np):
     return xp.stack([dot(v, b0, xp), dot(v, b1, xp), dot(v, b2, xp)], axis=-1)
 
 
+def _ray_intersect_2d(ao, av, bo, bv, i, j):
+    """2D-projection solve onto axes (i, j) (raytrace.rs:212-224).
+
+    Returns (t1, t2) or None when the projected directions are parallel
+    (|det| < 1e-4, the reference's threshold).  f32 operation order matches
+    the reference: det = u_i*v_j - u_j*v_i with u = bv, v = av.
+    """
+    det = F32(bv[i] * av[j] - bv[j] * av[i])
+    if abs(det) < F32(0.0001):
+        return None
+    dx = F32(bo[i] - ao[i])
+    dy = F32(bo[j] - ao[j])
+    return (F32(dy * bv[i] - dx * bv[j]) / det,
+            F32(dy * av[i] - dx * av[j]) / det)
+
+
+def ray_intersect(ao, ad, bo, bd):
+    """Closest-point ray-ray intersection (raytrace.rs:231-267).
+
+    Tries the xy, xz, then yz projection planes; the first non-parallel
+    projection yields parameters (t1, t2), and the candidate points
+    p1 = ao + t1*ad, p2 = bo + t2*bd intersect iff |p2 - p1|^2 < 0.01.
+    Returns p1 (f32 [3]) or None — including for "intersections" behind
+    either origin (negative t), exactly as the reference accepts them.
+
+    Host-side utility (completeness parity: the reference's only call site,
+    light sampling at raytrace.rs:1030-1076, is replaced on-device by the
+    closed-form centroid — docs/PARITY.md)."""
+    ao = np.asarray(ao, dtype=F32)
+    ad = np.asarray(ad, dtype=F32)
+    bo = np.asarray(bo, dtype=F32)
+    bd = np.asarray(bd, dtype=F32)
+    sol = _ray_intersect_2d(ao, ad, bo, bd, 0, 1)
+    if sol is None:
+        sol = _ray_intersect_2d(ao, ad, bo, bd, 0, 2)
+    if sol is None:
+        sol = _ray_intersect_2d(ao, ad, bo, bd, 1, 2)
+    if sol is None:
+        return None
+    t1, t2 = sol
+    p1 = ao + F32(t1) * ad
+    p2 = bo + F32(t2) * bd
+    if len2(p2 - p1) < F32(0.01):
+        return p1
+    return None
+
+
 def make_color(rgb):
     """8-bit color tuple -> f32 color in [0,1] (raytrace.rs:176-180)."""
     r, g, b = rgb

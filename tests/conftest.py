@@ -33,6 +33,9 @@ from rust_raytrace_tpu.scene import reference_asset
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "needs_teapot: requires the reference teapot OBJ asset")
+    config.addinivalue_line(
+        "markers", "slow: interpret-mode kernel / multi-program test "
+        "(minutes); fast lane = pytest -m 'not slow' (~2 min)")
 
 
 def pytest_collection_modifyitems(config, items):

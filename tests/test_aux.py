@@ -5,6 +5,8 @@ import io
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu.utils.progress import ProgressStat, create_ctx
 from rust_raytrace_tpu.utils.raydebug import DebugCtx
 

@@ -18,6 +18,8 @@ What is promised (and enforced here), under FixedRng at spp == 1:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu import oracle
 from rust_raytrace_tpu.engine import Engine
 from rust_raytrace_tpu.render import WavefrontRenderer

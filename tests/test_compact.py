@@ -8,6 +8,8 @@ permutation (f32 payloads move untouched) and perfectly invertible.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 import jax
 import jax.numpy as jnp
 

@@ -9,6 +9,8 @@ scatter vectors from the same counter hash (ops/shade.scatter_rv)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu import math3d as m3
 from rust_raytrace_tpu.geometry import make_sphere, make_triangles
 from rust_raytrace_tpu.materials import matte, reflective, solid

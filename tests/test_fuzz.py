@@ -22,6 +22,8 @@ per-lane traversal with a random multi-bank layout.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu import math3d as m3
 from rust_raytrace_tpu import oracle
 from rust_raytrace_tpu.camera import create_viewport

@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu import oracle
 from rust_raytrace_tpu.engine import Engine
 from rust_raytrace_tpu.models import circles, multi, teapot

@@ -10,6 +10,8 @@ ray, cuda_raytrace.rs:387-420):
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu import math3d as m3
 from rust_raytrace_tpu import oracle
 from rust_raytrace_tpu.camera import camera_rays, create_viewport

@@ -80,3 +80,34 @@ def test_mix_color():
     out = m3.mix_color(c1b, c2b, a)
     np.testing.assert_allclose(out[0], c1, rtol=1e-6)
     np.testing.assert_allclose(out[1], c2, rtol=1e-6)
+
+
+def test_ray_intersect():
+    # two rays crossing at (1, 1, 1) (raytrace.rs:231-267 semantics)
+    p = m3.ray_intersect((0, 0, 0), m3.unit(m3.vec(1, 1, 1)),
+                         (2, 0, 2), m3.unit(m3.vec(-1, 1, -1)))
+    assert p is not None
+    np.testing.assert_allclose(p, [1, 1, 1], atol=1e-5)
+
+    # parallel rays: every projection is degenerate -> None
+    assert m3.ray_intersect((0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 0, 0)) is None
+
+    # skew rays far apart: solvable projection, |p2-p1|^2 >= 0.01 -> None
+    assert m3.ray_intersect((0, 0, 0), (1, 0, 0), (0, 5, 1), (0, 0, 1)) is None
+
+    # the reference accepts near-misses under the 0.01 len2 slack
+    p = m3.ray_intersect((0, 0, 0), (1, 0, 0), (0, 0.05, 1),
+                         m3.unit(m3.vec(0, 0, -1)))
+    assert p is not None
+
+    # xy projection parallel, xz solvable (the cascade of raytrace.rs:233-256)
+    a_d = m3.unit(m3.vec(1, 0, 1))
+    b_d = m3.unit(m3.vec(1, 0, -1))
+    p = m3.ray_intersect((0, 0, 0), a_d, (0, 0, 2), b_d)
+    assert p is not None
+    np.testing.assert_allclose(p, [1, 0, 1], atol=1e-5)
+
+    # negative t accepted (the reference places no t >= 0 constraint)
+    p = m3.ray_intersect((0, 0, 0), (1, 0, 0), (-1, -1, 0), (0, -1, 0))
+    assert p is not None
+    np.testing.assert_allclose(p, [-1, 0, 0], atol=1e-5)

@@ -4,6 +4,8 @@ raytrace.rs:600-610, 1203-1224; BASELINE config 3)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu import math3d as m3
 from rust_raytrace_tpu import oracle
 from rust_raytrace_tpu.camera import create_viewport

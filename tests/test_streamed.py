@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per module
+
 from rust_raytrace_tpu import math3d as m3
 from rust_raytrace_tpu.camera import create_viewport
 from rust_raytrace_tpu.engine import Engine
