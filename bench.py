@@ -38,19 +38,23 @@ BASELINE_MRAYS = 50.0
 # tlo <= final hit t; raw slab-hit count for miss rays).  Utilization below
 # multiplies these by the live-measured rays/s — predicate MFU =
 # useful predicate FLOP/s vs the chip's measured VPU fp32 peak.
+#
+# Every entry below is copied verbatim from the recorded probe_r14b output
+# (docs/PERF.md "round-5 work-model measurement" — round 4 carried two
+# round-number placeholders and three stale rows; ADVICE r4).
 FLOPS_PER_SLOT_TEST = 51    # arithmetic of the packed predicate only
-                            # (ops/intersect_perlane._group.predicate):
+                            # (ops/intersect_pallas.packed_hit_predicate):
                             # comparisons/selects/slab excluded — conservative
 WORK_MODEL = {
     "teapot_2k": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869},
-    "circles_2k": {"P": 56, "eff_w0": 1.278, "eff_bounce": 1.588},
-    "teapot_512_spp4": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869},
+    "circles_2k": {"P": 56, "eff_w0": 0.988, "eff_bounce": 1.618},
+    "teapot_512_spp4": {"P": 56, "eff_w0": 0.508, "eff_bounce": 1.878},
     "teapot_2k_shadows": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869,
-                          "eff_feeler": 1.0},
+                          "eff_feeler": 2.032},
     "teapot_4k": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869},
-    "multi_2k": {"P": 56, "eff_w0": 2.784, "eff_bounce": 4.178},
-    "synthetic_100k_2k": {"P": 112, "eff_w0": 1.442, "eff_bounce": 1.96},
-    "synthetic_1m_2k": {"P": 56, "eff_w0": 2.0, "eff_bounce": 2.5},
+    "multi_2k": {"P": 56, "eff_w0": 1.397, "eff_bounce": 1.983},
+    "synthetic_100k_2k": {"P": 112, "eff_w0": 0.526, "eff_bounce": 1.586},
+    "synthetic_1m_2k": {"P": 56, "eff_w0": 0.532, "eff_bounce": 1.856},
 }
 
 
@@ -170,18 +174,26 @@ def main():
         x, _ = dev_loop(key, ob)
         np.asarray(x)
         best = (0.0, 1.0, 0)                  # (mrays, dt, rays)
-        for i in range(2):
+        run_mrays = []
+        for i in range(4):
             t0 = time.perf_counter()
             x, rays_tot = dev_loop(jax.random.PRNGKey(100 + i), ob)
             np.asarray(x)
             dt = (time.perf_counter() - t0) / ND
             rays_i = int(np.asarray(rays_tot)) // ND
             mr = rays_i / dt / 1e6
+            run_mrays.append(round(mr, 3))
             if mr > best[0]:
                 best = (mr, dt, rays_i)
         mrays, dev_dt, dev_rays = best        # headline: device metric
         extras["device_mrays_per_sec"] = round(mrays, 3)
         extras["device_seconds"] = round(dev_dt, 4)
+        # run-to-run variance, so cross-round drift claims are auditable
+        # (VERDICT r4: the r3->r4 "regression" was cross-process drift —
+        # probe_r15a's same-process A/B measured the code delta at < 0.5%)
+        extras["device_mrays_runs"] = run_mrays
+        extras["device_mrays_median"] = round(
+            float(np.median(run_mrays)), 3)
 
         # pipelined throughput: dispatch N renders back-to-back; each full
         # image fetch overlaps the following renders' device work
@@ -258,13 +270,16 @@ def main():
             try:
                 sc, vpc = build()
                 ec = Engine(sc)
-                mr, cdt, crays = device_metric(ec, vpc, ND=4, nruns=2,
+                runs = []
+                mr, cdt, crays = device_metric(ec, vpc, ND=4, nruns=3,
                                                spp=spp,
-                                               compiler_options=copts)
+                                               compiler_options=copts,
+                                               runs_out=runs)
                 cfg_out[cname] = {
                     "device_mrays_per_sec": round(mr, 3),
                     "device_seconds": round(cdt, 4),
                     "rays": crays,
+                    "runs": [round(m, 3) for m, _ in runs],
                 }
                 uc = predicate_mfu(cname, vpc.height * vpc.width * spp,
                                    crays, cdt, vpu_peak)

@@ -501,7 +501,7 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                                     "quantize", "has_lights", "weight_cutoff",
                                     "nbuf", "cb", "bounce_rb",
                                     "profile_skip", "ncompact", "spp",
-                                    "gate_frac"))
+                                    "gate_frac", "wave0_skippable"))
 def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            key, maxdepth: int, ray_chunk: int,
                            page_size: int, fixed_rng: bool, interpret: bool,
@@ -513,7 +513,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            ab_tab=None, profile_skip: tuple = (),
                            ncompact: int = -1, spp: int = 1,
                            gate_frac=None, slt_i=None, slt_s=None,
-                           s_ab=None, s_bank_ab=None):
+                           s_ab=None, s_bank_ab=None,
+                           wave0_skippable: bool = False):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -670,11 +671,18 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                 # state rows 0..2 even when the trace runs zero_origin).
                 # Fallback bounce waves (plt tables absent) skip retired
                 # chunks and the dead tail exactly like the per-lane path.
+                # wave 0 compiles the straight-line (non-skippable) kernel
+                # shape: all chunks are live by construction, and the
+                # always-skippable round-4 shape measured the headline
+                # 64.3 -> 60.8 Mrays/s (probe_r15a A/B).  wave0_skippable
+                # is the probe knob reproducing the regression shape.
+                cl0 = (jnp.ones((R // rb_w,), jnp.int32)
+                       if wave0_skippable else None)
                 state = trace_shade_chunks_pallas(
                     state, pk_use, counts, plist, ptmin, seed, page_size,
                     rb_w, fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
                     interpret=interpret, zero_origin=zo, nbuf=nbuf,
-                    chunk_live=chunk_live if wave > 0 else None,
+                    chunk_live=chunk_live if wave > 0 else cl0,
                     grid_live=grid_live if wave > 0 else None)
                 rows = None
             else:

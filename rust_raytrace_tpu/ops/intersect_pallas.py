@@ -61,6 +61,60 @@ ROW_SCAT = 10
 TRACE_ROWS = 16
 
 
+def packed_hit_predicate(col, o3, d3, has=None, excl=None, *,
+                         zero_origin: bool = False):
+    """The packed-triangle hit arithmetic — the ONE source of truth shared
+    by every kernel family (union/dense here, per-lane banked in
+    intersect_perlane, HBM-streamed in intersect_streamed).  The engine's
+    bit-exactness contract (engine == xla at max|diff| 0.0,
+    tests/test_bitexact.py) requires these kernels to produce bitwise
+    identical hit terms, so the arithmetic lives in exactly one place.
+
+    Semantic reference: the reference's plane-hit + incenter half-plane
+    test (raytrace.rs:377-436; CUDA form cuda_rt.cu:145-256), refactored
+    into per-triangle packed scalars (ops/pages.py lane layout).
+
+    col(f): accessor returning the feature-f tile — [P, 1] page columns in
+    the union kernel, [P, 128] gathered rows in the per-lane/streamed
+    kernels; either broadcasts against the [1, lanes] ray rows.
+    o3/d3: (x, y, z) tuples of [1, lanes] ray rows.  has: optional bool
+    mask AND-ed into ok (per-lane gather-valid).  excl: optional [1,
+    lanes] excluded triangle id (shadow self-exclusion; id 0 excludes
+    nothing because padding slots never hit).  zero_origin: the caller
+    folded the o-dot terms into the NC/S*C scalars (fold_pages_origin).
+
+    Returns (t, ok, ids, md_n, (dv0, dv1, dv2)).
+    """
+    o0, o1, o2 = o3
+    d0, d1, d2 = d3
+
+    def dot3(f, r0, r1, r2):
+        return col(f) * r0 + col(f + 1) * r1 + col(f + 2) * r2
+
+    md_n = dot3(LANE_N, d0, d1, d2)
+    if zero_origin:
+        t = col(LANE_NC) / md_n
+        dv0 = t * dot3(LANE_S0, d0, d1, d2) - col(LANE_S0C)
+        dv1 = t * dot3(LANE_S1, d0, d1, d2) - col(LANE_S1C)
+        dv2 = t * dot3(LANE_S2, d0, d1, d2) - col(LANE_S2C)
+    else:
+        t = (col(LANE_NC) - dot3(LANE_N, o0, o1, o2)) / md_n
+        dv0 = dot3(LANE_S0, o0, o1, o2) \
+            + t * dot3(LANE_S0, d0, d1, d2) - col(LANE_S0C)
+        dv1 = dot3(LANE_S1, o0, o1, o2) \
+            + t * dot3(LANE_S1, d0, d1, d2) - col(LANE_S1C)
+        dv2 = dot3(LANE_S2, o0, o1, o2) \
+            + t * dot3(LANE_S2, d0, d1, d2) - col(LANE_S2C)
+
+    ids = col(LANE_ID)
+    ok = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
+    if has is not None:
+        ok = ok & has
+    if excl is not None:
+        ok = ok & (ids != excl)
+    return t, ok, ids, md_n, (dv0, dv1, dv2)
+
+
 def _predicate_update(pk, o_ref, d_ref, t_ref, id_ref, page_size: int):
     """One (page x ray chunk) tile: hit predicate + running-min update.
 
@@ -68,21 +122,13 @@ def _predicate_update(pk, o_ref, d_ref, t_ref, id_ref, page_size: int):
     t_ref/id_ref: [.., 8, RB] running best output blocks (all sublane rows
     carry the same values; [1, RB] page results broadcast right-aligned).
     """
-    o0, o1, o2 = (o_ref[k:k + 1, :] for k in range(3))   # [1, RB] rows
-    d0r, d1r, d2r = (d_ref[k:k + 1, :] for k in range(3))
+    o3 = tuple(o_ref[k:k + 1, :] for k in range(3))      # [1, RB] rows
+    d3 = tuple(d_ref[k:k + 1, :] for k in range(3))
 
     def col(lane):
         return pk[:, lane:lane + 1]                      # [P, 1]
 
-    def dot3(lane, r0, r1, r2):                          # [P, RB]
-        return col(lane) * r0 + col(lane + 1) * r1 + col(lane + 2) * r2
-
-    t = (col(LANE_NC) - dot3(LANE_N, o0, o1, o2)) / dot3(LANE_N, d0r, d1r, d2r)
-    d0 = dot3(LANE_S0, o0, o1, o2) + t * dot3(LANE_S0, d0r, d1r, d2r) - col(LANE_S0C)
-    d1 = dot3(LANE_S1, o0, o1, o2) + t * dot3(LANE_S1, d0r, d1r, d2r) - col(LANE_S1C)
-    d2 = dot3(LANE_S2, o0, o1, o2) + t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
-
-    valid = (t >= 0.0) & (d0 <= 1.0) & (d1 <= 1.0) & (d2 <= 1.0)
+    t, valid, _, _, _ = packed_hit_predicate(col, o3, d3)
     tt = jnp.where(valid, t, jnp.inf)
 
     page_min = jnp.min(tt, axis=0, keepdims=True)        # [1, RB]
@@ -267,30 +313,13 @@ def _trace_pages(meta_ref, ptmin_ref, o_v, d_v, excl_v, pk_hbm, S, pk_buf,
         def col(lane):
             return pk[:, lane:lane + 1]                      # [P, 1]
 
-        def dot3(lane, r0, r1, r2):                          # [P, RB]
-            return col(lane) * r0 + col(lane + 1) * r1 + col(lane + 2) * r2
-
-        md_n = dot3(LANE_N, d0r, d1r, d2r)
-        if zero_origin:
-            # Shared-origin fast path: the caller folded the o-dot terms into
-            # the page scalars (lanes NC/S*C adjusted by -feature.origin), so
-            # four of the eight per-pair 3-term dot products vanish.
-            t = col(LANE_NC) / md_n
-            dv0 = t * dot3(LANE_S0, d0r, d1r, d2r) - col(LANE_S0C)
-            dv1 = t * dot3(LANE_S1, d0r, d1r, d2r) - col(LANE_S1C)
-            dv2 = t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
-        else:
-            t = (col(LANE_NC) - dot3(LANE_N, o0, o1, o2)) / md_n
-            dv0 = dot3(LANE_S0, o0, o1, o2) \
-                + t * dot3(LANE_S0, d0r, d1r, d2r) - col(LANE_S0C)
-            dv1 = dot3(LANE_S1, o0, o1, o2) \
-                + t * dot3(LANE_S1, d0r, d1r, d2r) - col(LANE_S1C)
-            dv2 = dot3(LANE_S2, o0, o1, o2) \
-                + t * dot3(LANE_S2, d0r, d1r, d2r) - col(LANE_S2C)
-
-        hit = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0)
-        if excl_v is not None:
-            hit = hit & (col(LANE_ID) != excl_v)
+        # shared-origin fast path (zero_origin): the caller folded the
+        # o-dot terms into the page scalars (lanes NC/S*C adjusted by
+        # -feature.origin), so four of the eight per-pair 3-term dot
+        # products vanish inside the shared predicate
+        t, hit, _, md_n, (dv0, dv1, dv2) = packed_hit_predicate(
+            col, (o0, o1, o2), (d0r, d1r, d2r), excl=excl_v,
+            zero_origin=zero_origin)
         tt = jnp.where(hit, t, jnp.inf)
 
         page_min = jnp.min(tt, axis=0, keepdims=True)        # [1, RB]
@@ -349,31 +378,40 @@ def _trace_pages(meta_ref, ptmin_ref, o_v, d_v, excl_v, pk_hbm, S, pk_buf,
             dma(jax.lax.rem(k_f + w, NBUF), k_f + w).wait()
 
 
-def _kernel_trace_shade(flags_ref, meta_ref, ptmin_ref, seed_ref, st_ref,
-                        pk_hbm, out_ref, S, pk_buf, sem, *, page_size: int,
-                        zero_origin: bool, nbuf: int, fixed_rng: bool,
-                        weight_cutoff: float):
+def _kernel_trace_shade(*refs, page_size: int, zero_origin: bool, nbuf: int,
+                        fixed_rng: bool, weight_cutoff: float,
+                        skippable: bool):
     """Fused union trace + shade: the page-streaming trace followed by the
     wave's shading/scatter/state update while the winner rows sit in the S
     scratch — used for wave 0 and for bounce waves in the beyond-table-
     budget fallback regime (engine routes bounces here when the per-lane
     tables exceed the VMEM slot cap).  st/out: ops.compact state blocks
-    [16, RB].  flags_ref carries per-chunk liveness: retired chunks are
+    [16, RB].
+
+    skippable (static, = caller passed chunk_live/grid_live): the kernel
+    takes a flags_ref carrying per-chunk liveness, and retired chunks are
     identity pass-throughs (state aliases the output), exactly the
     per-lane kernel's skip — on fallback bounce waves most chunks are
-    dead, and the skip spares their trace+shade entirely."""
+    dead, and the skip spares their trace+shade entirely.  When NOT
+    skippable (wave 0: all chunks live by construction) the body is
+    straight-line — wrapping the page-stream DMA while-loop in a pl.when
+    region costs Mosaic scheduling for a flag that never fires (the
+    round-4 always-skippable version measured the teapot_2k headline
+    64.3 -> 60.8 Mrays/s; pl.when program-shape overhead is a documented
+    pattern, docs/PERF.md probe_r6c)."""
     from .shade import _shade_state_rows, scatter_rv
+
+    if skippable:
+        (flags_ref, meta_ref, ptmin_ref, seed_ref, st_ref, pk_hbm,
+         out_ref, S, pk_buf, sem) = refs
+    else:
+        (meta_ref, ptmin_ref, seed_ref, st_ref, pk_hbm,
+         out_ref, S, pk_buf, sem) = refs
 
     pid = pl.program_id(0)
     row = jax.lax.rem(pid, 8)
-    live = flags_ref[row, 0] != 0
 
-    @pl.when(jnp.logical_not(live))
-    def _skip():
-        out_ref[:] = st_ref[:]
-
-    @pl.when(live)
-    def _busy():
+    def _body():
         st = st_ref[:]
         _trace_pages(meta_ref, ptmin_ref, st[0:3], st[3:6], None, pk_hbm, S,
                      pk_buf, sem, page_size=page_size,
@@ -382,6 +420,20 @@ def _kernel_trace_shade(flags_ref, meta_ref, ptmin_ref, seed_ref, st_ref,
                                    st.shape[1], fixed_rng)
         out_ref[:] = _shade_state_rows(st, S[:], rv0, rv1, rv2, None,
                                        weight_cutoff)
+
+    if not skippable:
+        _body()
+        return
+
+    live = flags_ref[row, 0] != 0
+
+    @pl.when(jnp.logical_not(live))
+    def _skip():
+        out_ref[:] = st_ref[:]
+
+    @pl.when(live)
+    def _busy():
+        _body()
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
@@ -486,17 +538,28 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
     chunks die after wave 0.  grid_live: optional traced survivor-prefix
     chunk count — a dynamic grid that skips the dead tail entirely (state
     aliases the output so unvisited blocks keep their bits), same contract
-    as trace_shade_perlane_pallas."""
+    as trace_shade_perlane_pallas.  With BOTH None (wave 0, where every
+    chunk is live by construction) the kernel compiles the straight-line
+    round-3 program: no flags block, no pl.when, no aliasing — the
+    always-skippable round-4 version cost the headline 5.4 ms (see
+    _kernel_trace_shade)."""
     RB = ray_chunk
     R = state.shape[1]
     NC = R // RB
     NP = PK.shape[0]
 
+    skippable = chunk_live is not None or grid_live is not None
     NC8 = -(-NC // 8) * 8
-    if chunk_live is None:
-        chunk_live = jnp.ones((NC,), jnp.int32)
-    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
-        chunk_live.astype(jnp.int32))
+    args = []
+    in_specs = []
+    if skippable:
+        if chunk_live is None:
+            chunk_live = jnp.ones((NC,), jnp.int32)
+        flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+            chunk_live.astype(jnp.int32))
+        args.append(flags)
+        in_specs.append(pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                                     memory_space=pltpu.SMEM))
     meta = jnp.zeros((NC8, 1 + NP), jnp.int32)
     meta = meta.at[:NC, 0].set(counts.astype(jnp.int32))
     meta = meta.at[:NC, 1:].set(plist.astype(jnp.int32))
@@ -510,9 +573,7 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(grid_n,),
-        in_specs=[
-            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
+        in_specs=in_specs + [
             pl.BlockSpec((8, 1 + NP), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, NP), lambda i: (i // 8, 0),
@@ -533,15 +594,19 @@ def trace_shade_chunks_pallas(state, PK, counts, plist, ptmin, seed,
         ],
     )
 
+    # state aliases the output ONLY in the skippable shape, where the
+    # dynamic-grid tail blocks must keep their input bits (the _skip
+    # pass-through's identity); unconditional aliasing makes XLA keep the
+    # input buffer live via a copy on the wave-0 hot path
+    alias = {len(args) + 3: 0} if skippable else {}
     out = pl.pallas_call(
         functools.partial(_kernel_trace_shade, page_size=page_size,
                           zero_origin=zero_origin, nbuf=nbuf,
-                          fixed_rng=fixed_rng, weight_cutoff=weight_cutoff),
+                          fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
+                          skippable=skippable),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
-        # state aliases the output so dynamic-grid tail blocks keep their
-        # bits (the _skip pass-through's identity)
-        input_output_aliases={4: 0},
+        input_output_aliases=alias,
         interpret=interpret,
-    )(flags, meta, ptm, seed2, state.astype(F32), PK)[0]
+    )(*args, meta, ptm, seed2, state.astype(F32), PK)[0]
     return out

@@ -85,9 +85,11 @@ PAGES_PER_STEP = 2
 SORT_THRESH = (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 12.0, 15.0,
                19.0, 24.0)
 
-#: output rows (identical contract to ops.intersect_pallas)
+#: output rows (identical contract to ops.intersect_pallas) + the shared
+#: single-source hit predicate (the bit-exactness contract's arithmetic)
 from .intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
-                               ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS)
+                               ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS,
+                               packed_hit_predicate)
 
 
 #: max banks: caps the VMEM-resident table at NB*(N_INT+N_SHD)*P*128 f32
@@ -463,25 +465,12 @@ def _group(plt, plts, sub_p, o3, d3, a1, excl, ab, out_ref, sl, P,
         def feat(G, f):
             return G[f * P:(f + 1) * P, :]               # [P, 128]
 
-        def dot3(G, f0, r0, r1, r2):
-            return (feat(G, f0) * r0 + feat(G, f0 + 1) * r1
-                    + feat(G, f0 + 2) * r2)
-
         def predicate(G, has):
-            md_n = dot3(G, 0, d0, d1, d2)
-            t = (feat(G, 12) - dot3(G, 0, o0, o1, o2)) / md_n
-            dv0 = dot3(G, 3, o0, o1, o2) + t * dot3(G, 3, d0, d1, d2) \
-                - feat(G, 13)
-            dv1 = dot3(G, 6, o0, o1, o2) + t * dot3(G, 6, d0, d1, d2) \
-                - feat(G, 14)
-            dv2 = dot3(G, 9, o0, o1, o2) + t * dot3(G, 9, d0, d1, d2) \
-                - feat(G, 15)
-            ids = feat(G, 16)
-            ok = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0) \
-                & has
-            if excl is not None:
-                ok = ok & (ids != excl[0:1, :])
-            return t, ok, ids, md_n, (dv0, dv1, dv2)
+            # single-sourced hit arithmetic (the bit-exactness anchor):
+            # feature f of a gathered page column lives at rows f*P..f*P+P
+            return packed_hit_predicate(
+                lambda f: feat(G, f), (o0, o1, o2), (d0, d1, d2), has=has,
+                excl=excl[0:1, :] if excl is not None else None)
 
         def bank_pass(b, best, gate_cut):
             """Slab + while-loop for bank b from winner state `best`."""

@@ -57,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .compact import (STATE_ROWS, _gather_lanes, _onehot,
                       _src_index_from_onehot)
 from .intersect_pallas import (ROW_ALPHA, ROW_COLOR, ROW_ENC, ROW_ID,
-                               ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS)
+                               ROW_NORM, ROW_SCAT, ROW_T, TRACE_ROWS,
+                               packed_hit_predicate)
 from .intersect_perlane import (GROUP, N_INT, N_SHD, PAGES_PER_STEP, _slab,
                                 build_perlane_tables)
 from .pages import PACK_LANES, PageTables
@@ -128,24 +129,13 @@ def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
     def feat(G, f):
         return G[f * P:(f + 1) * P, :]
 
-    def dot3(G, f0, r0, r1, r2):
-        return (feat(G, f0) * r0 + feat(G, f0 + 1) * r1
-                + feat(G, f0 + 2) * r2)
-
     def predicate(G, has):
-        md_n = dot3(G, 0, d0, d1, d2)
-        t = (feat(G, 12) - dot3(G, 0, o0, o1, o2)) / md_n
-        dv0 = dot3(G, 3, o0, o1, o2) + t * dot3(G, 3, d0, d1, d2) \
-            - feat(G, 13)
-        dv1 = dot3(G, 6, o0, o1, o2) + t * dot3(G, 6, d0, d1, d2) \
-            - feat(G, 14)
-        dv2 = dot3(G, 9, o0, o1, o2) + t * dot3(G, 9, d0, d1, d2) \
-            - feat(G, 15)
-        ids = feat(G, 16)
-        ok = (t >= 0.0) & (dv0 <= 1.0) & (dv1 <= 1.0) & (dv2 <= 1.0) & has
-        if excl is not None:
-            ok = ok & (ids != excl[0:1, :])
-        return t, ok, ids, md_n, (dv0, dv1, dv2)
+        # single-sourced hit arithmetic (intersect_pallas.packed_hit_
+        # predicate — the bit-exactness anchor shared with the resident
+        # per-lane and union kernels)
+        return packed_hit_predicate(
+            lambda f: feat(G, f), (o0, o1, o2), (d0, d1, d2), has=has,
+            excl=excl[0:1, :] if excl is not None else None)
 
     best_t = sb[0:1, sl]
     best_id = sb[1:2, sl]
@@ -276,7 +266,7 @@ def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
                           plt_s_hbm, S, sb, tkey_s, bi_buf, bs_buf, sem_i,
                           sem_s, klt, subf, *, P: int, RB: int, NB: int,
                           NB8: int, any_hit: bool, sort_lanes: bool,
-                          extract_payload: bool):
+                          extract_payload: bool, stats: bool = False):
     """Bank-worklist traversal of one chunk.  Winner rows land in S
     [16, RB] in SORTED lane order; returns the destination map `dest`
     [1, RB] when sort_lanes (caller inverts with a lane gather), else
@@ -332,31 +322,84 @@ def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
     sb[1:2, :] = jnp.zeros_like(sb[1:2, :])
     sb[2:3, :] = jnp.zeros_like(sb[2:3, :])
 
+    def dma_pair(bank, slot):
+        return (pltpu.make_async_copy(plt_i_hbm.at[bank], bi_buf.at[slot],
+                                      sem_i.at[slot]),
+                pltpu.make_async_copy(plt_s_hbm.at[bank], bs_buf.at[slot],
+                                      sem_s.at[slot]))
+
+    def start(bank, slot):
+        for cp in dma_pair(bank, slot):
+            cp.start()
+
+    def wait(bank, slot):
+        for cp in dma_pair(bank, slot):
+            cp.wait()
+
+    def nearest(tk, m):
+        """Bank id (f32) whose entry equals the global min m."""
+        bmin = jnp.min(tk, axis=1, keepdims=True)            # [NB8, 1]
+        return jnp.min(jnp.where(bmin == m, bank_iota[:, 0:1], F32(NB8)))
+
+    # --- double-buffered bank DMA with a front-to-back GUESS prefetch ---
+    # The next bank to visit is only known after this visit's cross-bank
+    # cut, but it is ALMOST ALWAYS the second-nearest remaining entry (the
+    # cut either removes banks beyond the cut wholesale — ending the loop
+    # — or leaves the near ones); so each visit starts the second-nearest
+    # bank's DMA into the other buffer slot while it traverses, and the
+    # next iteration verifies: guess right -> the tables are already in
+    # flight/landed; wrong -> drain the stale copy and fetch the true
+    # bank (exactly the pre-prefetch cost).  Bit-exact by construction —
+    # the visit order and all arithmetic are unchanged; only the DMA
+    # timing moves (the union kernel's own pipelining pattern,
+    # _trace_pages; VERDICT r4 weak #3).
+    m0 = jnp.min(tkey_s[:])
+    b0 = nearest(tkey_s[:], m0)
+
+    @pl.when(m0 < jnp.inf)
+    def _first():
+        start(b0.astype(jnp.int32), jnp.int32(0))
+
     def cond(carry):
         return carry[1] < jnp.inf
 
     def body(carry):
-        it, m = carry
+        it, m, cur, pend = carry
         # globally nearest remaining bank (front-to-back across banks —
         # raytrace.rs:941-947 one level up)
         tk = tkey_s[:]
-        bmin = jnp.min(tk, axis=1, keepdims=True)            # [NB8, 1]
-        b_f = jnp.min(jnp.where(bmin == m,
-                                bank_iota[:, 0:1], F32(NB8)))
+        b_f = nearest(tk, m)
         b = b_f.astype(jnp.int32)
-        cp_i = pltpu.make_async_copy(plt_i_hbm.at[b], bi_buf, sem_i)
-        cp_s = pltpu.make_async_copy(plt_s_hbm.at[b], bs_buf, sem_s)
-        cp_i.start()
-        cp_s.start()
+
+        @pl.when(b != pend)
+        def _miss():
+            # wrong guess in flight into our slot: drain it, fetch the
+            # true bank (the serial pre-prefetch path)
+            wait(pend, cur)
+            start(b, cur)
+
         # per-lane demand for THIS bank (computed while the DMA flies)
         lanes_b = jnp.sum(
             jnp.where((bank_iota == b_f) & (tk < jnp.inf), F32(1.0),
                       F32(0.0)), axis=0, keepdims=True)      # [1, RB]
         ab_b = ab_ref[pl.ds(b * GROUP, GROUP), :]
-        cp_i.wait()
-        cp_s.wait()
-        plt_b = bi_buf[:]
-        plts_b = bs_buf[:]
+        wait(b, cur)
+
+        # guess prefetch: second-nearest remaining entry (pre-cut) into
+        # the other slot
+        tk2 = jnp.where(bank_iota == b_f, jnp.inf, tk)
+        m2 = jnp.min(tk2)
+        g_f = nearest(tk2, m2)
+        other = jnp.int32(1) - cur
+        guess = jnp.where(m2 < jnp.inf, g_f.astype(jnp.int32),
+                          jnp.int32(-1))
+
+        @pl.when(m2 < jnp.inf)
+        def _prefetch():
+            start(g_f.astype(jnp.int32), other)
+
+        plt_b = bi_buf[cur]
+        plts_b = bs_buf[cur]
         for g in range(RB // GROUP):
             sl = slice(g * GROUP, (g + 1) * GROUP)
 
@@ -370,18 +413,30 @@ def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
         # beyond the lane's best: bit-exact, see module docstring); any_hit
         # lanes with a hit stop demanding banks entirely
         best_t = sb[0:1, :]
-        tk = tkey_s[:]
-        tk = jnp.where(bank_iota == b_f, jnp.inf, tk)
+        tk = jnp.where(bank_iota == b_f, jnp.inf, tkey_s[:])
         tk = jnp.where(tk <= best_t, tk, jnp.inf)
         if any_hit:
             tk = jnp.where(sb[1:2, :] == 0.0, tk, jnp.inf)
         tkey_s[:] = tk
-        return it + 1, jnp.min(tk)
+        return it + 1, jnp.min(tk), other, guess
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.min(tkey_s[:])))
+    it_f, _, cur_f, pend_f = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), m0, jnp.int32(0), b0.astype(jnp.int32)))
+
+    # a guess prefetch may still be in flight when the loop exits (the cut
+    # retired everything it targeted) — drain it before the buffers are
+    # reused by the next chunk's grid step
+    @pl.when(pend_f >= 0)
+    def _drain():
+        wait(pend_f, cur_f)
 
     S[ROW_T:ROW_T + 1, :] = sb[0:1, :]
     S[ROW_ID:ROW_ID + 1, :] = sb[1:2, :]
+    if stats:
+        # profiling channel (row 11 is unused by the trace contract): this
+        # chunk's bank-visit count — each visit is one (plt_i + plt_s) bank
+        # DMA, so visits x bank bytes = the kernel's HBM table traffic
+        S[11:12, :] = jnp.broadcast_to(it_f.astype(F32), (1, S.shape[1]))
     return dest
 
 
@@ -389,7 +444,8 @@ def _kernel_streamed(flags_ref, o_ref, d_ref, a_ref, excl_ref, bank_ab_ref,
                      ab_ref, plt_i_hbm, plt_s_hbm, out_ref, S, sb, tkey_s,
                      bi_buf, bs_buf, sem_i, sem_s, klt_s, subf_s, *,
                      page_size: int, ray_chunk: int, nb: int, nb8: int,
-                     exclude_id: bool, any_hit: bool, sort_lanes: bool):
+                     exclude_id: bool, any_hit: bool, sort_lanes: bool,
+                     stats: bool = False):
     row = jax.lax.rem(pl.program_id(0), 8)
     out_ref[:] = jnp.zeros_like(out_ref)
     _sort_scratch_build(klt_s, subf_s, ray_chunk, sort_lanes)
@@ -403,7 +459,7 @@ def _kernel_streamed(flags_ref, o_ref, d_ref, a_ref, excl_ref, bank_ab_ref,
             sem_s, klt_s[:] if sort_lanes else None,
             subf_s[:] if sort_lanes else None, P=page_size, RB=ray_chunk,
             NB=nb, NB8=nb8, any_hit=any_hit, sort_lanes=sort_lanes,
-            extract_payload=not any_hit)
+            extract_payload=not any_hit, stats=stats)
         if sort_lanes:
             out_ref[:] = _gather_lanes(S[:], dest, ray_chunk)
         else:
@@ -465,10 +521,10 @@ def _common_scratch(P: int, RB: int, NB8: int, sort_lanes: bool):
         pltpu.VMEM((TRACE_ROWS, RB), F32),            # S winner rows
         pltpu.VMEM((8, RB), F32),                     # sb best t/id/pg
         pltpu.VMEM((NB8, RB), F32),                   # tkey bank worklist
-        pltpu.VMEM((N_INT * P, GROUP), F32),          # bank intersect buf
-        pltpu.VMEM((N_SHD * P, GROUP), F32),          # bank shade buf
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((2, N_INT * P, GROUP), F32),       # bank intersect bufs
+        pltpu.VMEM((2, N_SHD * P, GROUP), F32),       # bank shade bufs
+        pltpu.SemaphoreType.DMA((2,)),                # (double-buffered
+        pltpu.SemaphoreType.DMA((2,)),                #  guess prefetch)
         pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), BF16),
         pltpu.VMEM((RB, RB) if sort_lanes else (8, 128), F32),
     ]
@@ -476,16 +532,18 @@ def _common_scratch(P: int, RB: int, NB8: int, sort_lanes: bool):
 
 @functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
                                              "interpret", "any_hit",
-                                             "sort_lanes"))
+                                             "sort_lanes", "stats"))
 def trace_streamed_pallas(OT, DT, alive, plt_i, plt_s, ab, bank_ab,
                           page_size: int, ray_chunk: int, chunk_live=None,
                           interpret: bool = False, excl=None,
-                          any_hit: bool = False, sort_lanes=None):
+                          any_hit: bool = False, sort_lanes=None,
+                          stats: bool = False):
     """Streamed-bank per-lane nearest hit (or any_hit occlusion) + winner
     state.  Same output contract as trace_perlane_pallas / the union
     kernel: OUT [16, R] (rows ROW_*); with any_hit the payload rows are
     NOT extracted (ROW_T/ROW_ID only — occlusion callers read just
-    ROW_ID).
+    ROW_ID).  stats=True additionally writes each chunk's bank-visit
+    count into row 11 (profiling only — row 11 is zero in the contract).
 
     plt_i/plt_s: [NB, 17P/7P, 128] HBM bank tables; ab [NB*128, 128] fine
     page AABBs (VMEM resident); bank_ab [NB8, 128] bank AABBs (from
@@ -538,7 +596,8 @@ def trace_streamed_pallas(OT, DT, alive, plt_i, plt_s, ab, bank_ab,
     out = pl.pallas_call(
         functools.partial(_kernel_streamed, page_size=P, ray_chunk=RB,
                           nb=NB, nb8=NB8, exclude_id=exclude_id,
-                          any_hit=any_hit, sort_lanes=sort_lanes),
+                          any_hit=any_hit, sort_lanes=sort_lanes,
+                          stats=stats),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((TRACE_ROWS, R), F32)],
         interpret=interpret,

