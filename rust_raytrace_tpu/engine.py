@@ -501,7 +501,8 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                                     "quantize", "has_lights", "weight_cutoff",
                                     "nbuf", "cb", "bounce_rb",
                                     "profile_skip", "ncompact", "spp",
-                                    "gate_frac", "wave0_skippable"))
+                                    "gate_frac", "wave0_skippable",
+                                    "wave0_fused_lights"))
 def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            key, maxdepth: int, ray_chunk: int,
                            page_size: int, fixed_rng: bool, interpret: bool,
@@ -514,7 +515,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            ncompact: int = -1, spp: int = 1,
                            gate_frac=None, slt_i=None, slt_s=None,
                            s_ab=None, s_bank_ab=None,
-                           wave0_skippable: bool = False):
+                           wave0_skippable: bool = False,
+                           wave0_fused_lights: bool = True):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -601,7 +603,20 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                                  # boundary refreshes it below
 
         streamed = slt_i is not None
-        perlane = plt_i is not None and wave > 0
+        # Lights configs route wave 0 through the FUSED per-lane kernel
+        # too (trace + shadow feeler + shade in one kernel): the unfused
+        # wave-0 chain paid a rows round trip + a second packet cull +
+        # argsort + a full any_hit union kernel + the standalone shade
+        # kernel.  The per-lane trace computes t with the TRUE origin
+        # (state rows 0..2) — the same expression the xla reference
+        # evaluates — so the bit-exact contract holds without the
+        # pinhole fold (the fold is arithmetic-neutral by construction;
+        # test_shadows/test_bitexact pin it).  Debug renders
+        # (want_primary) keep the unfused chain — they need the rows.
+        perlane = plt_i is not None and (
+            wave > 0 or (has_lights and wave0_fused_lights
+                         and not want_primary
+                         and "trace" not in profile_skip))
         kw = jax.random.fold_in(key, wave)
         seed = (kw if kw.ndim == 1 else jax.random.key_data(kw)) \
             .astype(jnp.uint32)

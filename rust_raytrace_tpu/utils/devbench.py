@@ -18,7 +18,8 @@ import numpy as np
 
 def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                   compiler_options=None, cb=None, runs_out=None,
-                  wave0_skippable: bool = False):
+                  wave0_skippable: bool = False,
+                  wave0_fused_lights: bool = True):
     """Returns (mrays_per_sec, seconds_per_render, rays_per_render) for the
     compacted production engine on the real chip.
 
@@ -82,6 +83,7 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                 ncompact=eng.ncompact, bounce_rb=eng.bounce_chunk,
                 gate_frac=eng.gate_frac,
                 wave0_skippable=wave0_skippable,
+                wave0_fused_lights=wave0_fused_lights,
                 **({} if cb is None else {"cb": cb}))[:2]
             return (img[0, 0].astype(F32),
                     rays + jnp.sum(wc, dtype=jnp.int32))
