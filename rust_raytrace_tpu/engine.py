@@ -58,6 +58,7 @@ from .ops.intersect_perlane import (build_perlane_tables,
                                     trace_perlane_pallas,
                                     trace_shade_perlane_pallas)
 from .ops.intersect_streamed import (build_streamed_tables,
+                                     trace_shade_bankmajor_pallas,
                                      trace_shade_streamed_pallas,
                                      trace_streamed_pallas)
 from .ops.pages import build_pages_kd
@@ -502,7 +503,7 @@ def _shadow_mask(st: SceneTensors, aabb_lo, aabb_hi, o_m, d_m, alive, rows,
                                     "nbuf", "cb", "bounce_rb",
                                     "profile_skip", "ncompact", "spp",
                                     "gate_frac", "wave0_skippable",
-                                    "wave0_fused_lights"))
+                                    "wave0_fused_lights", "bank_major"))
 def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            key, maxdepth: int, ray_chunk: int,
                            page_size: int, fixed_rng: bool, interpret: bool,
@@ -516,7 +517,8 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            gate_frac=None, slt_i=None, slt_s=None,
                            s_ab=None, s_bank_ab=None,
                            wave0_skippable: bool = False,
-                           wave0_fused_lights: bool = True):
+                           wave0_fused_lights: bool = False,
+                           bank_major: bool = True):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -603,16 +605,16 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                                  # boundary refreshes it below
 
         streamed = slt_i is not None
-        # Lights configs route wave 0 through the FUSED per-lane kernel
-        # too (trace + shadow feeler + shade in one kernel): the unfused
-        # wave-0 chain paid a rows round trip + a second packet cull +
-        # argsort + a full any_hit union kernel + the standalone shade
-        # kernel.  The per-lane trace computes t with the TRUE origin
-        # (state rows 0..2) — the same expression the xla reference
-        # evaluates — so the bit-exact contract holds without the
-        # pinhole fold (the fold is arithmetic-neutral by construction;
-        # test_shadows/test_bitexact pin it).  Debug renders
-        # (want_primary) keep the unfused chain — they need the rows.
+        # wave0_fused_lights routes lights wave 0 through the FUSED
+        # per-lane kernel (trace + feeler + shade in one kernel) instead
+        # of the unfused chain.  MEASURED SLOWER and off by default:
+        # teapot_2k_shadows 227.6 vs 178.6 ms (probe_r15g, 3 same-process
+        # reps) — the per-lane traversal of 3.7M tile-coherent camera
+        # rays costs far more than the union kernel's shared page stream
+        # saves in chain overhead (cull + argsort + any_hit union +
+        # standalone shade ~27 ms).  Both shapes are bit-exact equal
+        # (dryrun lights checksum byte-identical; test_shadows green on
+        # either).  Kept as the measured-out A/B knob.
         perlane = plt_i is not None and (
             wave > 0 or (has_lights and wave0_fused_lights
                          and not want_primary
@@ -632,11 +634,30 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             # at ANY scene size.  Lights/debug waves run the unfused rows
             # variant + the shared shadow/shade path below.
             if not has_lights and not (wave == 0 and want_primary):
-                state = trace_shade_streamed_pallas(
-                    state, slt_i, slt_s, s_ab, s_bank_ab, seed, page_size,
-                    rb_w, fixed_rng=fixed_rng, weight_cutoff=weight_cutoff,
-                    chunk_live=chunk_live, interpret=interpret,
-                    grid_live=grid_live)
+                # Bounce waves ride the BANK-MAJOR sweep (round 5): one
+                # table DMA per bank per wave instead of one per
+                # chunk-visit — scattered bounce chunks demand half the
+                # scene's banks each, so the worklist kernel re-read
+                # ~85 GB of tables per synthetic_1m render (probe_r15b;
+                # 881 of 974 ms in bounce waves).  Wave 0 keeps the
+                # worklist kernel: tile-coherent chunks demand ~1.7
+                # banks each and the front-to-back cut retires most of
+                # them early.  Bit-exact either way (test_streamed.py
+                # pins bank-major == worklist on every surface).
+                if wave > 0 and bank_major:
+                    state = trace_shade_bankmajor_pallas(
+                        state, slt_i, slt_s, s_ab, s_bank_ab, seed,
+                        page_size, rb_w, fixed_rng=fixed_rng,
+                        weight_cutoff=weight_cutoff,
+                        chunk_live=chunk_live, interpret=interpret,
+                        grid_live=grid_live)
+                else:
+                    state = trace_shade_streamed_pallas(
+                        state, slt_i, slt_s, s_ab, s_bank_ab, seed,
+                        page_size, rb_w, fixed_rng=fixed_rng,
+                        weight_cutoff=weight_cutoff,
+                        chunk_live=chunk_live, interpret=interpret,
+                        grid_live=grid_live)
                 rows = None
             else:
                 rows = trace_streamed_pallas(
@@ -944,7 +965,8 @@ class Engine(RayCaster):
                  auto_pages: bool = True, ncompact: Optional[int] = None,
                  gate_frac: Optional[float] = None,
                  streamed: Optional[bool] = None,
-                 table_slot_cap: int = 262144):
+                 table_slot_cap: int = 262144,
+                 bank_major: bool = True):
         self.exact_cull = exact_cull
         self.compact = compact
         self._auto_schedule = False
@@ -971,6 +993,10 @@ class Engine(RayCaster):
             page_size = auto_page_size(n_tris, page_size)
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
+        # streamed-regime bounce traversal: bank-major sweep (one table
+        # DMA per bank per wave) vs the per-chunk bank worklist; bit-exact
+        # either way — the knob exists for A/B measurement
+        self.bank_major = bank_major
         self.bounce_chunk = bounce_chunk
         self.nbuf = nbuf
         # KD median-split pages: ~2.3x fewer slab-hit pages per ray than the
@@ -1096,7 +1122,7 @@ class Engine(RayCaster):
                 weight_cutoff=0.0 if fixed_rng else self.weight_cutoff,
                 nbuf=self.nbuf, bounce_rb=self.bounce_chunk,
                 ncompact=self.ncompact, spp=spp,
-                gate_frac=self.gate_frac)
+                gate_frac=self.gate_frac, bank_major=self.bank_major)
             dyn = dict(
                 light_orig=(jnp.asarray(lights.orig, dtype=F32)
                             if lights is not None else None),

@@ -220,11 +220,31 @@ def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
     if not extract_payload:
         return
 
-    # --- payload extraction-overwrite: lanes whose RUNNING winner is in
+    # payload extraction-overwrite: lanes whose RUNNING winner is in
     # this bank (such a lane was necessarily updated during this visit; a
     # later bank that beats it overwrites again, so the final write is
     # from the final winner's table — bit-identical to a single extraction
-    # at the end) ---
+    # at the end)
+    _bank_extract(plt_b, plts_b, b_f, o3, d3, excl, best_t, best_id,
+                  best_pg, S, sl, P)
+
+
+def _bank_extract(plt_b, plts_b, b_f, o3, d3, excl, best_t, best_id,
+                  best_pg, S, sl, P: int):
+    """Winner-payload extraction for one 128-ray group from ONE bank's
+    tables (in VMEM): lanes whose winner page lives in bank `b_f` re-run
+    the predicate on their winner page and masked-reduce the feature rows
+    into S.  Shared by the worklist kernel (per-visit overwrite) and the
+    bank-major finish pass (single extraction from the final winner bank)
+    — same table, same predicate, same reduce, so the two schedules are
+    bit-identical."""
+    del best_t
+    o0, o1, o2 = (o3[k:k + 1, :] for k in range(3))
+    d0, d1, d2 = (d3[k:k + 1, :] for k in range(3))
+
+    def feat(G, f):
+        return G[f * P:(f + 1) * P, :]
+
     in_b = (best_id != 0.0) & (best_pg >= b_f * F32(GROUP)) \
         & (best_pg < (b_f + 1.0) * F32(GROUP))
 
@@ -236,7 +256,10 @@ def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
         idxs = jnp.broadcast_to(local.astype(jnp.int32), plts_b.shape)
         Gs = jnp.take_along_axis(plts_b, idxs, axis=1)
 
-        t, ok, ids, md_n, (dv0, dv1, dv2) = predicate(Gw, in_b)
+        t, ok, ids, md_n, (dv0, dv1, dv2) = packed_hit_predicate(
+            lambda f: feat(Gw, f), (o0, o1, o2), (d0, d1, d2), has=in_b,
+            excl=excl[0:1, :] if excl is not None else None)
+        del t, ok
         win = (ids == best_id) & in_b
         wf = win.astype(F32)
 
@@ -262,6 +285,44 @@ def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
             S[r:r + 1, sl] = jnp.where(in_b, v, S[r:r + 1, sl])
 
 
+def _primary_bank_sort(bank_ab_ref, bank_iota, o3, d3, a1, excl, klt, subf,
+                       RB: int, NB8: int):
+    """In-chunk sort by PRIMARY BANK (bank-level slab key): groups become
+    bank-homogeneous so each bank-visit touches 1-2 groups.  Dead/sky
+    lanes sort last.  (Fine per-bank page counts — the resident kernel's
+    key — would need every bank's page slab up front, defeating the
+    streaming.)  Returns the permuted (o3, d3, a1, excl) and `dest`
+    [1, RB] — each ORIGINAL lane's destination position, which inverts
+    the permutation via `_gather_lanes(sorted_vals, dest, RB)`."""
+    valid = a1[0:1, :] != 0.0
+    btlo, bthi, bok = _slab(bank_ab_ref[:], o3, d3)          # [NB8, RB]
+    bhit = (btlo <= bthi) & (bthi >= 0.0) & valid & bok
+    pb = jnp.min(jnp.where(bhit, bank_iota, F32(NB8)),
+                 axis=0, keepdims=True)                      # [1, RB]
+    qsum = jnp.where(valid, pb, F32(NB8 + 1))
+    nbk = NB8 + 2
+    masks = jnp.concatenate(
+        [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
+         for q in range(nbk)], axis=0)                       # [nbk, RB]
+    ranks = jax.lax.dot_general(
+        masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
+        preferred_element_type=F32)
+    tot = jnp.sum(masks, axis=1, keepdims=True)
+    dest = jnp.zeros_like(qsum)
+    base = F32(0.0)
+    for q in range(nbk):
+        dest = dest + masks[q:q + 1] * (base + ranks[q:q + 1])
+        base = base + tot[q, 0]
+    M = _onehot(dest, jnp.ones_like(dest), RB, subf)
+    srcidx = _src_index_from_onehot(M, RB)
+    in8 = jnp.concatenate(
+        [o3, d3, a1[0:1, :],
+         excl[0:1, :] if excl is not None else a1[0:1, :]], axis=0)
+    p8 = _gather_lanes(in8, srcidx, RB)
+    return (p8[0:3], p8[3:6], p8[6:7],
+            p8[7:8] if excl is not None else None, dest)
+
+
 def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
                           plt_s_hbm, S, sb, tkey_s, bi_buf, bs_buf, sem_i,
                           sem_s, klt, subf, *, P: int, RB: int, NB: int,
@@ -277,38 +338,8 @@ def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
 
     dest = None
     if sort_lanes:
-        # --- in-chunk sort by PRIMARY BANK (bank-level slab key): groups
-        # become bank-homogeneous so each bank-visit touches 1-2 groups.
-        # Dead/sky lanes sort last.  (Fine per-bank page counts — the
-        # resident kernel's key — would need every bank's page slab up
-        # front, defeating the streaming.) ---
-        btlo, bthi, bok = _slab(bank_ab_ref[:], o3, d3)      # [NB8, RB]
-        bhit = (btlo <= bthi) & (bthi >= 0.0) & valid & bok
-        pb = jnp.min(jnp.where(bhit, bank_iota, F32(NB8)),
-                     axis=0, keepdims=True)                  # [1, RB]
-        qsum = jnp.where(valid, pb, F32(NB8 + 1))
-        nbk = NB8 + 2
-        masks = jnp.concatenate(
-            [jnp.where(qsum == F32(q), F32(1.0), F32(0.0))
-             for q in range(nbk)], axis=0)                   # [nbk, RB]
-        ranks = jax.lax.dot_general(
-            masks.astype(BF16), klt, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32)
-        tot = jnp.sum(masks, axis=1, keepdims=True)
-        dest = jnp.zeros_like(qsum)
-        base = F32(0.0)
-        for q in range(nbk):
-            dest = dest + masks[q:q + 1] * (base + ranks[q:q + 1])
-            base = base + tot[q, 0]
-        M = _onehot(dest, jnp.ones_like(dest), RB, subf)
-        srcidx = _src_index_from_onehot(M, RB)
-        in8 = jnp.concatenate(
-            [o3, d3, a1[0:1, :],
-             excl[0:1, :] if excl is not None else a1[0:1, :]], axis=0)
-        p8 = _gather_lanes(in8, srcidx, RB)
-        o3, d3 = p8[0:3], p8[3:6]
-        a1 = p8[6:7]
-        excl = p8[7:8] if excl is not None else None
+        o3, d3, a1, excl, dest = _primary_bank_sort(
+            bank_ab_ref, bank_iota, o3, d3, a1, excl, klt, subf, RB, NB8)
         valid = a1[0:1, :] != 0.0
 
     # bank slab on the (possibly permuted) lanes -> the bank worklist
@@ -371,11 +402,18 @@ def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
         b_f = nearest(tk, m)
         b = b_f.astype(jnp.int32)
 
-        @pl.when(b != pend)
-        def _miss():
-            # wrong guess in flight into our slot: drain it, fetch the
-            # true bank (the serial pre-prefetch path)
+        @pl.when((b != pend) & (pend >= 0))
+        def _miss_drain():
+            # wrong guess in flight into our slot: drain it before the
+            # refetch (waiting on a DMA that was never started faults the
+            # chip — pend is -1 exactly when no guess was launched, which
+            # provably only happens on the loop's last pass, but the
+            # guard keeps the invariant local)
             wait(pend, cur)
+
+        @pl.when(b != pend)
+        def _miss_fetch():
+            # fetch the true bank (the serial pre-prefetch path)
             start(b, cur)
 
         # per-lane demand for THIS bank (computed while the DMA flies)
@@ -420,8 +458,15 @@ def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
         tkey_s[:] = tk
         return it + 1, jnp.min(tk), other, guess
 
+    # pend carries the bank id whose DMA is in flight into slot `cur`;
+    # -1 = none.  An all-sky chunk (m0 == inf — the MAJORITY of wave-0
+    # chunks, 2211/3600 on synthetic_1m) never starts a DMA, so its pend
+    # MUST be -1 or the exit drain below waits on a never-started copy
+    # and faults the TPU worker (interpret mode does not simulate the
+    # block, so only the chip catches this).
+    pend0 = jnp.where(m0 < jnp.inf, b0.astype(jnp.int32), jnp.int32(-1))
     it_f, _, cur_f, pend_f = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), m0, jnp.int32(0), b0.astype(jnp.int32)))
+        cond, body, (jnp.int32(0), m0, jnp.int32(0), pend0))
 
     # a guess prefetch may still be in flight when the loop exits (the cut
     # retired everything it targeted) — drain it before the buffers are
@@ -669,4 +714,451 @@ def trace_shade_streamed_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
         input_output_aliases={2: 0},
         interpret=interpret,
     )(flags, seed2, state.astype(F32), bank_ab, ab, plt_i, plt_s)[0]
+    return out
+
+
+# ===================== bank-major bounce sweep (round 5) ====================
+#
+# The worklist kernel above is chunk-major: every bank a chunk demands is a
+# fresh (plt_i + plt_s) HBM DMA (~0.7 MB at P=56).  Coherent wave-0 rays
+# demand ~1.7 banks/chunk and that is fine; SCATTERED bounce rays demand
+# half the scene's banks per 1024-ray chunk, so one synthetic_1m render
+# re-reads ~85 GB of tables — 4.3x the per-ray cost of the resident regime
+# (BENCH_r04; probe_r15b budget: 881 of 974 ms in bounce waves).  The
+# bank-major sweep inverts the loop the TPU way:
+#
+#   A. PREP (chunk-major grid): sort each live chunk's lanes by primary
+#      bank (the existing in-chunk sort), emit the permuted rays + the
+#      inverse map, the winner-row init, and a per-(bank, chunk) GROUP
+#      DEMAND bitmask from the bank-level slab test.
+#   B. glue (XLA, chunk x bank scale — no ray-scale ops): per bank, the
+#      demanded chunk list (argsort of the demand matrix) + counts.
+#   C. SWEEP (bank-major grid, one step per bank): the bank's tables ride
+#      ordinary blocked BlockSpecs — Pallas DMAs each table ONCE PER BANK
+#      PER WAVE (140 x 0.7 MB, not 124k x 0.7 MB) — while the per-chunk
+#      ray/winner rows stream through a manually double-buffered
+#      (96 KB/visit) pipeline: wait-write -> start-next-read -> compute ->
+#      start-write, the compact.py segment-DMA pattern.  Each visit runs
+#      the SAME _bank_group_pass as the worklist kernel.
+#   D. FINISH (chunk-major grid): extract winner payloads from each
+#      chunk's DISTINCT WINNER BANKS only (a handful; for low-hit bounce
+#      waves near zero), un-permute via the phase-A map, and apply the
+#      fused shade/scatter/state update (same rv stream: program ids are
+#      the same chunk indices).
+#
+# Bit-exactness: winner selection is a lexicographic (t, id) min with
+# exact pruning only (a page or bank whose entry tlo exceeds best_t cannot
+# contain a better hit; ties keep the smaller id), so the min is
+# VISIT-ORDER INDEPENDENT — the resident banked kernel already visits
+# banks in index order while the worklist kernel goes front-to-back, and
+# the suite pins them equal.  Payload extraction from the final winner's
+# bank is the same predicate + masked reduce the per-visit overwrite ends
+# with (see _bank_extract).  tests/test_streamed.py pins bank-major ==
+# worklist bitwise on every surface.
+#
+# Structural reference: raytrace.rs:790-845's octree is scale-free per
+# ray; this sweep restores the property per CHIP — table traffic is
+# O(banks) per wave, not O(chunk-visits).
+
+
+def _kernel_bm_prep(flags_ref, st_ref, bank_ab_ref, prm_ref, win_ref,
+                    gm_ref, klt_s, subf_s, *, ray_chunk: int, nb8: int,
+                    sort_lanes: bool):
+    """Phase A: per live chunk, primary-bank lane sort + winner init +
+    per-bank group-demand bitmask (gm column pid%128 of the current
+    [NB8, 128] block; bit g = some lane of sorted group g slab-hits the
+    bank)."""
+    RB = ray_chunk
+    pid = pl.program_id(0)
+    row = jax.lax.rem(pid, 8)
+    col = jax.lax.rem(pid, 128)
+    _sort_scratch_build(klt_s, subf_s, RB, sort_lanes)
+    bank_iota = jax.lax.broadcasted_iota(jnp.int32, (nb8, RB),
+                                         0).astype(F32)
+
+    @pl.when(col == 0)
+    def _zero():
+        gm_ref[:] = jnp.zeros_like(gm_ref)
+
+    @pl.when(flags_ref[row, 0] != 0)
+    def _busy():
+        st = st_ref[:]
+        o3, d3, a1 = st[0:3], st[3:6], st[7:8]
+        if sort_lanes:
+            o3, d3, a1, _, dest = _primary_bank_sort(
+                bank_ab_ref, bank_iota, o3, d3, a1, None, klt_s[:],
+                subf_s[:], RB, nb8)
+        else:
+            dest = jax.lax.broadcasted_iota(jnp.int32, (1, RB),
+                                            1).astype(F32)
+        valid = a1[0:1, :] != 0.0
+        btlo, bthi, bok = _slab(bank_ab_ref[:], o3, d3)      # [NB8, RB]
+        bhit = (btlo <= bthi) & (bthi >= 0.0) & valid & bok
+        gmv = jnp.zeros((nb8, 1), jnp.int32)
+        for g in range(RB // GROUP):
+            anyg = jnp.any(bhit[:, g * GROUP:(g + 1) * GROUP], axis=1,
+                           keepdims=True)
+            gmv = gmv + jnp.where(anyg, jnp.int32(1 << g), jnp.int32(0))
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, gm_ref.shape, 1)
+        gm_ref[:] = jnp.where(lane_i == col,
+                              jnp.broadcast_to(gmv, gm_ref.shape),
+                              gm_ref[:])
+        prm_ref[0:3, :] = o3
+        prm_ref[3:6, :] = d3
+        prm_ref[6:7, :] = a1
+        prm_ref[7:8, :] = dest
+        win_ref[0:1, :] = jnp.where(valid, jnp.inf, -jnp.inf)
+        win_ref[1:8, :] = jnp.zeros_like(win_ref[1:8, :])
+
+
+def _kernel_bm_sweep(cc_ref, cl_ref, gml_ref, ab_ref, plt_ref, plts_ref,
+                     prm_hbm, win_in, win_out, pr0, pr1, wn0, wn1, S_dummy,
+                     spi, swi, swo, *, page_size: int, ray_chunk: int,
+                     nb8: int):
+    """Phase C: one grid step per bank; tables arrive as ordinary blocked
+    inputs (one DMA per bank per wave), ray/winner rows stream through a
+    manually double-buffered pipeline over the bank's demanded chunks."""
+    P = page_size
+    RB = ray_chunk
+    b = pl.program_id(0)
+    brow = jax.lax.rem(b, 8)
+    nv = cc_ref[brow, 0]
+    b_f = b.astype(F32)
+    plt_b = plt_ref[0]
+    plts_b = plts_ref[0]
+    ab_b = ab_ref[:]
+
+    del win_in  # aliased to win_out; ALL reads go through the output ref
+    # (reading the aliased input ref would see a stale pre-sweep copy in
+    # interpret mode, losing the cross-bank accumulation)
+
+    def rd_pair(c, pr_s, wn_s, si):
+        return (pltpu.make_async_copy(prm_hbm.at[:, pl.ds(c * RB, RB)],
+                                      pr_s, spi.at[si]),
+                pltpu.make_async_copy(win_out.at[:, pl.ds(c * RB, RB)],
+                                      wn_s, swi.at[si]))
+
+    def wr_copy(c, wn_s, si):
+        return pltpu.make_async_copy(wn_s, win_out.at[:, pl.ds(c * RB, RB)],
+                                     swo.at[si])
+
+    def start_read(c, pr_s, wn_s, si):
+        for cp in rd_pair(c, pr_s, wn_s, si):
+            cp.start()
+
+    def visit(c, gm, pr_s, wn_s, si):
+        for cp in rd_pair(c, pr_s, wn_s, si):
+            cp.wait()
+        o3 = pr_s[0:3, :]
+        d3 = pr_s[3:6, :]
+        a1 = pr_s[6:7, :]
+        for g in range(RB // GROUP):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+
+            @pl.when((gm // (1 << g)) % 2 == 1)
+            def _g(sl=sl):
+                _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3[:, sl],
+                                 d3[:, sl], a1[:, sl], None, wn_s,
+                                 S_dummy, sl, P, False,
+                                 extract_payload=False)
+        wr_copy(c, wn_s, si).start()
+
+    @pl.when(nv > 0)
+    def _run():
+        start_read(cl_ref[brow, 0], pr0, wn0, 0)
+
+        def body(i, pend):
+            pend0, pend1 = pend
+            c = cl_ref[brow, i]
+            gm = gml_ref[brow, i]
+            s_is0 = jax.lax.rem(i, 2) == 0
+            nxt = i + 1
+            has_next = nxt < nv
+            c_next = cl_ref[brow, jnp.minimum(nxt, nv - 1)]
+
+            # prepare the OTHER slot for visit i+1: drain its previous
+            # write-out (the buffer is about to be overwritten), then
+            # start the next chunk's reads into it
+            @pl.when(has_next & s_is0)
+            def _prep1():
+                @pl.when(pend1 >= 0)
+                def _():
+                    wr_copy(pend1, wn1, 1).wait()
+                start_read(c_next, pr1, wn1, 1)
+
+            @pl.when(has_next & jnp.logical_not(s_is0))
+            def _prep0():
+                @pl.when(pend0 >= 0)
+                def _():
+                    wr_copy(pend0, wn0, 0).wait()
+                start_read(c_next, pr0, wn0, 0)
+
+            @pl.when(s_is0)
+            def _v0():
+                visit(c, gm, pr0, wn0, 0)
+
+            @pl.when(jnp.logical_not(s_is0))
+            def _v1():
+                visit(c, gm, pr1, wn1, 1)
+
+            pend0 = jnp.where(s_is0, c,
+                              jnp.where(has_next, jnp.int32(-1), pend0))
+            pend1 = jnp.where(s_is0,
+                              jnp.where(has_next, jnp.int32(-1), pend1), c)
+            return pend0, pend1
+
+        pend0_f, pend1_f = jax.lax.fori_loop(
+            0, nv, body, (jnp.int32(-1), jnp.int32(-1)))
+
+        # drain this bank's outstanding write-outs before the next grid
+        # step reads any winner block
+        @pl.when(pend0_f >= 0)
+        def _d0():
+            wr_copy(pend0_f, wn0, 0).wait()
+
+        @pl.when(pend1_f >= 0)
+        def _d1():
+            wr_copy(pend1_f, wn1, 1).wait()
+
+
+def _kernel_bm_finish(flags_ref, seed_ref, st_ref, prm_ref, win_ref,
+                      plt_i_hbm, plt_s_hbm, out_ref, S, tkey_s, bi, bs,
+                      sem_i, sem_s, *, page_size: int, ray_chunk: int,
+                      nb8: int, fixed_rng: bool, weight_cutoff: float,
+                      sort_lanes: bool):
+    """Phase D: winner-payload extraction from each chunk's distinct
+    winner banks, un-permute, fused shade/scatter/state update."""
+    P = page_size
+    RB = ray_chunk
+    pid = pl.program_id(0)
+    row = jax.lax.rem(pid, 8)
+    live = flags_ref[row, 0] != 0
+    bank_iota = jax.lax.broadcasted_iota(jnp.int32, (nb8, RB),
+                                         0).astype(F32)
+
+    @pl.when(jnp.logical_not(live))
+    def _skip():
+        out_ref[:] = st_ref[:]
+
+    @pl.when(live)
+    def _busy():
+        st = st_ref[:]
+        t_row = win_ref[0:1, :]
+        id_row = win_ref[1:2, :]
+        pg_row = win_ref[2:3, :]
+        o3s = prm_ref[0:3, :]
+        d3s = prm_ref[3:6, :]
+        S[ROW_T:ROW_T + 1, :] = t_row
+        S[ROW_ID:ROW_ID + 1, :] = id_row
+        S[ROW_NORM:TRACE_ROWS, :] = jnp.zeros_like(S[ROW_NORM:TRACE_ROWS, :])
+        has = id_row != 0.0
+        wb = jnp.floor(pg_row / F32(GROUP))
+        tkey_s[:] = jnp.where((bank_iota == wb) & has, F32(0.0), jnp.inf)
+
+        def cond(m):
+            return m < jnp.inf
+
+        def body(m):
+            tk = tkey_s[:]
+            b_f = jnp.min(jnp.where(tk < jnp.inf, bank_iota, F32(nb8)))
+            b = b_f.astype(jnp.int32)
+            cp_i = pltpu.make_async_copy(plt_i_hbm.at[b], bi, sem_i)
+            cp_s = pltpu.make_async_copy(plt_s_hbm.at[b], bs, sem_s)
+            cp_i.start()
+            cp_s.start()
+            lanes_b = jnp.sum(
+                jnp.where((bank_iota == b_f) & (tk < jnp.inf), F32(1.0),
+                          F32(0.0)), axis=0, keepdims=True)
+            cp_i.wait()
+            cp_s.wait()
+            plt_b = bi[:]
+            plts_b = bs[:]
+            for g in range(RB // GROUP):
+                sl = slice(g * GROUP, (g + 1) * GROUP)
+
+                @pl.when(jnp.any(lanes_b[0:1, sl] > 0.0))
+                def _g(sl=sl):
+                    _bank_extract(plt_b, plts_b, b_f, o3s[:, sl],
+                                  d3s[:, sl], None, None,
+                                  id_row[0:1, sl], pg_row[0:1, sl], S, sl,
+                                  P)
+            tk = jnp.where(bank_iota == b_f, jnp.inf, tk)
+            tkey_s[:] = tk
+            return jnp.min(tk)
+
+        jax.lax.while_loop(cond, body, jnp.min(tkey_s[:]))
+
+        rows = (_gather_lanes(S[:], prm_ref[7:8, :], RB)
+                if sort_lanes else S[:])
+        rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid,
+                                   RB, fixed_rng)
+        out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, None,
+                                       weight_cutoff)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ray_chunk",
+                                             "fixed_rng", "weight_cutoff",
+                                             "interpret", "sort_lanes"))
+def trace_shade_bankmajor_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
+                                 page_size: int, ray_chunk: int,
+                                 fixed_rng: bool, weight_cutoff: float,
+                                 chunk_live=None, interpret: bool = False,
+                                 sort_lanes=None, grid_live=None):
+    """One bounce wave = bank-major streamed trace + shade + state update.
+
+    Same contract as trace_shade_streamed_pallas (bit-exact equal to it —
+    tests/test_streamed.py), but bank tables are DMA'd once per BANK per
+    wave instead of once per chunk-visit: the scattered-bounce regime's
+    table traffic drops from O(visits) x 0.7 MB to O(banks) x 0.7 MB
+    (~85 GB -> ~0.1 GB per synthetic_1m render), with the per-visit
+    stream reduced to the 96 KB of ray/winner rows."""
+    if sort_lanes is None:
+        sort_lanes = ray_chunk >= 2 * GROUP
+    assert ray_chunk % GROUP == 0
+    RB = ray_chunk
+    R = state.shape[1]
+    NC = R // RB
+    NB = plt_i.shape[0]
+    NB8 = bank_ab.shape[0]
+    NCp = -(-NC // 128) * 128
+    P = page_size
+
+    if chunk_live is None:
+        chunk_live = jnp.ones((NC,), jnp.int32)
+    NC8 = -(-NC // 8) * 8
+    flags = jnp.zeros((NC8, 128), jnp.int32).at[:NC, 0].set(
+        chunk_live.astype(jnp.int32))
+    seed2 = jnp.zeros((1, 2), jnp.int32).at[0].set(seed.astype(jnp.int32))
+    if grid_live is None:
+        grid_n = NC
+        live_n = jnp.int32(NC)
+    else:
+        grid_n = jnp.clip(grid_live.astype(jnp.int32), 1, NC)
+        live_n = grid_n
+
+    # --- phase A: prep (chunk-major) ---
+    sort_scratch = ([pltpu.VMEM((RB, RB), BF16), pltpu.VMEM((RB, RB), F32)]
+                    if sort_lanes
+                    else [pltpu.VMEM((8, 128), BF16),
+                          pltpu.VMEM((8, 128), F32)])
+    prm, win0, gm = pl.pallas_call(
+        functools.partial(_kernel_bm_prep, ray_chunk=RB, nb8=NB8,
+                          sort_lanes=sort_lanes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(grid_n,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, RB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB8, PACK_LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((8, RB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, RB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB8, 128), lambda i: (0, i // 128),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=sort_scratch,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((8, R), F32),
+                   jax.ShapeDtypeStruct((8, R), F32),
+                   jax.ShapeDtypeStruct((NB8, NCp), jnp.int32)],
+        interpret=interpret,
+    )(flags, state.astype(F32), bank_ab)
+
+    # --- phase B: glue (chunk x bank scale, no ray-scale ops) ---
+    ci = jax.lax.broadcasted_iota(jnp.int32, (NB8, NC), 1)
+    dm = (gm[:, :NC] != 0) & (ci < live_n)
+    ccount = jnp.sum(dm, axis=1).astype(jnp.int32)           # [NB8]
+    order = jnp.argsort(jnp.where(dm, 0, 1), axis=1,
+                        stable=True).astype(jnp.int32)       # demand-first
+    gml = jnp.take_along_axis(gm[:, :NC], order, axis=1)
+    cc8 = jnp.zeros((NB8, 128), jnp.int32).at[:, 0].set(ccount)
+    NCs = -(-NC // 128) * 128
+    cl_s = jnp.zeros((NB8, NCs), jnp.int32).at[:, :NC].set(order)
+    gm_s = jnp.zeros((NB8, NCs), jnp.int32).at[:, :NC].set(gml)
+
+    # --- phase C: bank-major sweep ---
+    win = pl.pallas_call(
+        functools.partial(_kernel_bm_sweep, page_size=P, ray_chunk=RB,
+                          nb8=NB8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, NCs), lambda i: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, NCs), lambda i: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((GROUP, PACK_LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_INT * P, GROUP), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_SHD * P, GROUP), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            scratch_shapes=[
+                pltpu.VMEM((8, RB), F32),                    # pr0
+                pltpu.VMEM((8, RB), F32),                    # pr1
+                pltpu.VMEM((8, RB), F32),                    # wn0
+                pltpu.VMEM((8, RB), F32),                    # wn1
+                pltpu.VMEM((TRACE_ROWS, RB), F32),           # S (unused)
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((8, R), F32)],
+        input_output_aliases={7: 0},
+        interpret=interpret,
+    )(cc8, cl_s, gm_s, ab, plt_i, plt_s, prm, win0)[0]
+
+    # --- phase D: finish (chunk-major): extraction + unsort + shade ---
+    out = pl.pallas_call(
+        functools.partial(_kernel_bm_finish, page_size=P, ray_chunk=RB,
+                          nb8=NB8, fixed_rng=fixed_rng,
+                          weight_cutoff=weight_cutoff,
+                          sort_lanes=sort_lanes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(grid_n,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, RB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, RB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[
+                pltpu.VMEM((TRACE_ROWS, RB), F32),           # S
+                pltpu.VMEM((NB8, RB), F32),                  # tkey
+                pltpu.VMEM((N_INT * P, GROUP), F32),         # bank buf
+                pltpu.VMEM((N_SHD * P, GROUP), F32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((STATE_ROWS, R), F32)],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(flags, seed2, state.astype(F32), prm, win, plt_i, plt_s)[0]
     return out

@@ -175,7 +175,8 @@ def engine_render_sharded(engine, o, d, alive, key, mesh: Mesh,
                 slt_i=engine.slt_i, slt_s=engine.slt_s, s_ab=engine.s_ab,
                 s_bank_ab=engine.s_bank_ab,
                 ncompact=engine.ncompact, spp=spp,
-                gate_frac=engine.gate_frac)
+                gate_frac=engine.gate_frac,
+                bank_major=engine.bank_major)
         else:
             img, wave_counts, primary = _render_device(
                 st, lo, hi, o_sh, d_sh, alive_sh, key_sh,

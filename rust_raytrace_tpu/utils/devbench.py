@@ -19,7 +19,7 @@ import numpy as np
 def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                   compiler_options=None, cb=None, runs_out=None,
                   wave0_skippable: bool = False,
-                  wave0_fused_lights: bool = True):
+                  wave0_fused_lights: bool = False):
     """Returns (mrays_per_sec, seconds_per_render, rays_per_render) for the
     compacted production engine on the real chip.
 
@@ -81,7 +81,7 @@ def device_metric(eng, vp, ND: int = 8, nruns: int = 2, spp: int = 1,
                 slt_i=eng.slt_i, slt_s=eng.slt_s, s_ab=eng.s_ab,
                 s_bank_ab=eng.s_bank_ab,
                 ncompact=eng.ncompact, bounce_rb=eng.bounce_chunk,
-                gate_frac=eng.gate_frac,
+                gate_frac=eng.gate_frac, bank_major=eng.bank_major,
                 wave0_skippable=wave0_skippable,
                 wave0_fused_lights=wave0_fused_lights,
                 **({} if cb is None else {"cb": cb}))[:2]

@@ -10,15 +10,17 @@ tunnel and its clock/binning are not otherwise observable.
   the instruction scheduler can hide FMA latency across chains.  Each
   fori_loop iteration's fused body reads and writes each carry array once
   against `2 * UNROLL` flops per element — arithmetic intensity
-  2*UNROLL/8 flops/byte (UNROLL=48 -> 12 flops/byte; the earlier
+  2*UNROLL/8 flops/byte (UNROLL=384 -> 96 flops/byte; the earlier
   "~100 flops/byte" claim here was miscomputed, ADVICE r4).  At the
-  measured 273.5 GB/s that puts the memory-bound ceiling at
-  ~3.3 TFLOP/s, above the measured plateau, so the plateau is
-  compute-limited.  The (NCHAINS, UNROLL) defaults are the plateau of the
-  probe_r15c sweep (chains 2..16 x unroll 12..96, recorded in
-  docs/PERF.md): throughput saturates there, so the figure is the chip's
-  attainable fp32 FMA rate for register-resident elementwise work — the
-  right denominator for predicate MFU.
+  measured 287 GB/s the memory-bound ceiling (27.5 TFLOP/s) sits far
+  above the measured plateau, so the plateau is compute-limited.  The
+  (NCHAINS, UNROLL) defaults are the knee of the probe_r15c + r15f
+  sweeps (chains 2..32 x unroll 12..384, recorded in docs/PERF.md):
+  3.80 TFLOP/s at (32, 384) with <= ~8% gain per further doubling — the
+  chip's attainable fp32 FMA rate for register-resident elementwise
+  work, the right denominator for predicate MFU.  The round-4 figure
+  (0.43 at chains 4 x unroll 24) was LATENCY-limited, not issue-limited
+  (ADVICE r4 was right): every MFU it denominated was ~8.8x inflated.
 - HBM bandwidth: a fori_loop whose body streams `x = x + y` over 256 MB
   arrays (read x, read y, write x = 3 passes/iteration).
 
@@ -30,8 +32,8 @@ import time
 
 import numpy as np
 
-UNROLL = 48
-NCHAINS = 8
+UNROLL = 384
+NCHAINS = 32
 
 
 def measure_vpu_peak(iters: int = 60, shape=(1024, 1024), nruns: int = 3,

@@ -79,7 +79,9 @@ def test_lights_fused_equals_unfused():
     from rust_raytrace_tpu.models import teapot
     from rust_raytrace_tpu.scene import LightSource
 
-    scene, vp = teapot.build(resolution=(48, 32))
+    # maxdepth 3: the fused-vs-unfused surface is PER-WAVE; three waves
+    # exercise wave-0 + bounce feelers without the depth-5 interpret wall
+    scene, vp = teapot.build(resolution=(48, 32), maxdepth=3)
     scene.lights = LightSource(orig=np.asarray([0.0, 18.0, 8.0],
                                                dtype=np.float32), len2=0.5)
     e1 = Engine(scene, page_size=64, ray_chunk=256, interpret=True,

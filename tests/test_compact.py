@@ -301,13 +301,17 @@ def test_engine_schedule_variants_bitexact():
     from rust_raytrace_tpu.engine import Engine
     from rust_raytrace_tpu.models import circles
 
-    scene, vp = circles.build(resolution=(48, 32))
+    # 32x24 + ray_chunk 256: 4 chunks, so boundary compaction still
+    # permutes across chunks (the surface under test is the SCHEDULE, not
+    # scale — the soak campaigns cover size; suite-wall bound, VERDICT r4
+    # weak #7)
+    scene, vp = circles.build(resolution=(32, 24))
     key = jax.random.PRNGKey(3)
-    base = Engine(scene, interpret=True, ncompact=2).render(
+    base = Engine(scene, interpret=True, ncompact=2, ray_chunk=256).render(
         vp, key=key, fixed_rng=True)
     for kw in [dict(ncompact=(True, False, False, True)),
                dict(ncompact=-1, gate_frac=0.7),
                dict(ncompact=(False, True))]:
-        img = Engine(scene, interpret=True, **kw).render(
+        img = Engine(scene, interpret=True, ray_chunk=256, **kw).render(
             vp, key=key, fixed_rng=True).image
         np.testing.assert_array_equal(img, base.image, err_msg=str(kw))

@@ -150,12 +150,45 @@ def test_streamed_fused_shade_bitexact(tables, rays, fixed):
     assert eq_bits(refC, gotC)
 
 
+@pytest.mark.parametrize("fixed", [True, False])
+def test_bankmajor_equals_worklist_bitexact(tables, rays, fixed):
+    """The round-5 BANK-MAJOR bounce sweep (one table DMA per bank per
+    wave, trace_shade_bankmajor_pallas) == the per-chunk bank-worklist
+    kernel bitwise on the full fused surface, including chunk skipping
+    and the survivor-prefix dynamic grid.  Winner selection is a
+    lexicographic (t, id) min with exact pruning only, so it is
+    visit-order independent — this pins the claim."""
+    from rust_raytrace_tpu.ops.compact import STATE_ROWS
+    from rust_raytrace_tpu.ops.intersect_streamed import (
+        trace_shade_bankmajor_pallas, trace_shade_streamed_pallas)
+
+    _, (si, ss, sab, sbab) = tables
+    o, d, alive = rays
+    R = o.shape[1]
+    arow = alive[None, :]
+    state = jnp.concatenate(
+        [o, d, arow, arow, jnp.zeros((STATE_ROWS - 8, R), F32)], axis=0)
+    seed = jnp.asarray([123, 456], jnp.uint32)
+    for cl, gl in ((None, None),
+                   (jnp.asarray([1, 0], jnp.int32), None),
+                   (jnp.asarray([1, 1], jnp.int32), jnp.int32(1))):
+        kw = dict(fixed_rng=fixed, weight_cutoff=1 / 512, chunk_live=cl,
+                  interpret=True, grid_live=gl)
+        ref = trace_shade_streamed_pallas(state, si, ss, sab, sbab, seed,
+                                          P, RB, **kw)
+        got = trace_shade_bankmajor_pallas(state, si, ss, sab, sbab, seed,
+                                           P, RB, **kw)
+        n = R if gl is None else int(gl) * RB
+        assert eq_bits(np.asarray(ref)[:, :n], np.asarray(got)[:, :n]), \
+            (cl, gl)
+
+
 def test_engine_streamed_render_bitexact(sphere_scene):
     """Full production render through the streamed regime == the banked
     engine bitwise, including the primary-hit debug buffers and wave
     counts (the engine selects this regime automatically past the table
     budget; streamed=True forces it on a test-size scene)."""
-    vp = create_viewport((64, 48), (1.0, 48 / 64), (0.0, 0.0, 0.0),
+    vp = create_viewport((48, 32), (1.0, 32 / 48), (0.0, 0.0, 0.0),
                          m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 4, 1)
     ref = Engine(sphere_scene, page_size=P, ray_chunk=256, interpret=True,
                  auto_pages=False)
@@ -183,7 +216,7 @@ def test_engine_streamed_lights_bitexact(sphere_scene):
                   lights=LightSource(orig=np.asarray([0.0, 8.0, 0.0],
                                                      np.float32),
                                      len2=np.float32(0.5)))
-    vp = create_viewport((48, 32), (1.0, 32 / 48), (0.0, 0.0, 0.0),
+    vp = create_viewport((32, 24), (1.0, 24 / 32), (0.0, 0.0, 0.0),
                          m3.unit(m3.vec(0.0, 0.0, 1.0)), 90.0, 0.0, 3, 1)
     ref = Engine(lit, page_size=P, ray_chunk=128, interpret=True,
                  auto_pages=False)
