@@ -54,7 +54,10 @@ WORK_MODEL = {
     "teapot_4k": {"P": 56, "eff_w0": 0.879, "eff_bounce": 1.869},
     "multi_2k": {"P": 56, "eff_w0": 1.397, "eff_bounce": 1.983},
     "synthetic_100k_2k": {"P": 112, "eff_w0": 0.526, "eff_bounce": 1.586},
-    "synthetic_1m_2k": {"P": 56, "eff_w0": 0.532, "eff_bounce": 1.856},
+    # re-measured at the round-5 streamed default P=224 (probe_r16c run of
+    # the probe_r14b harness, 2026-08-20: eff_w0=0.497 eff_bounce=1.61
+    # hitfrac_w0=0.2216 hitfrac_bounce=0.0003)
+    "synthetic_1m_2k": {"P": 224, "eff_w0": 0.497, "eff_bounce": 1.61},
 }
 
 

@@ -518,7 +518,7 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
                            s_ab=None, s_bank_ab=None,
                            wave0_skippable: bool = False,
                            wave0_fused_lights: bool = False,
-                           bank_major: bool = True):
+                           bank_major: bool = False):
     """Compacted multi-wave render (spp == 1): the production path.
 
     The reference workqueue retires finished rays and requeues survivors to
@@ -966,7 +966,7 @@ class Engine(RayCaster):
                  gate_frac: Optional[float] = None,
                  streamed: Optional[bool] = None,
                  table_slot_cap: int = 262144,
-                 bank_major: bool = True):
+                 bank_major: bool = False):
         self.exact_cull = exact_cull
         self.compact = compact
         self._auto_schedule = False
@@ -989,13 +989,26 @@ class Engine(RayCaster):
             # slots >= n_tris at ANY page size, so a scene past the cap can
             # never hold resident per-lane tables — don't grow the page for
             # a bank budget it can't meet; the streamed regime below keeps
-            # the fine-page economics instead (ops/intersect_streamed.py)
+            # fine-page economics instead (ops/intersect_streamed.py)
             page_size = auto_page_size(n_tris, page_size)
+        elif auto_pages:
+            # STREAMED regime page optimum, measured on a 1M-tri sphere
+            # (probe_r15e2/r15d chip sweep, worklist kernel + guess
+            # prefetch): P=56 5.80, P=112 6.76, P=224 6.94, P=448 3.19
+            # Mrays/s — larger pages amortize the per-bank-visit fixed
+            # cost (~7.1 us vs the 2.5 us DMA floor, probe_r15b) until
+            # the per-visit table block exceeds the double buffer's VMEM
+            # budget at 448.
+            page_size = max(page_size, 224)
         self.pinhole_origin = pinhole_origin
         self.weight_cutoff = weight_cutoff
-        # streamed-regime bounce traversal: bank-major sweep (one table
-        # DMA per bank per wave) vs the per-chunk bank worklist; bit-exact
-        # either way — the knob exists for A/B measurement
+        # streamed-regime bounce traversal: per-chunk bank worklist with
+        # guess-prefetch (default) vs the bank-major sweep (one table DMA
+        # per bank per wave); bit-exact either way.  Bank-major measured
+        # SLOWER at every page size on the 1M-tri chip sweep (probe_r15h:
+        # 6.02/5.68/5.01 vs the worklist's 6.94/6.76/5.80 Mrays/s at
+        # P=224/112/56) — saved table bytes don't pay for the per-visit
+        # ray/winner row round trips once prefetch hides the table DMA.
         self.bank_major = bank_major
         self.bounce_chunk = bounce_chunk
         self.nbuf = nbuf

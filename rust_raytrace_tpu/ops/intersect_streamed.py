@@ -447,6 +447,16 @@ def _streamed_trace_chunk(o3, d3, a1, excl, bank_ab_ref, ab_ref, plt_i_hbm,
                                  d3[:, sl], a1[:, sl],
                                  excl[:, sl] if excl is not None else None,
                                  sb, S, sl, P, any_hit, extract_payload)
+        if stats:
+            # row 12: live group-pass count (the unit of per-visit compute
+            # — each pass is one [128,128] slab + gather while-loop)
+            npv = F32(0.0)
+            for g in range(RB // GROUP):
+                sl = slice(g * GROUP, (g + 1) * GROUP)
+                npv = npv + jnp.where(jnp.any(lanes_b[0:1, sl] > 0.0),
+                                      F32(1.0), F32(0.0))
+            S[12:13, :] = S[12:13, :] + jnp.broadcast_to(
+                npv, (1, S.shape[1]))
         # retire this bank; drop banks no lane can improve in (bank entry
         # beyond the lane's best: bit-exact, see module docstring); any_hit
         # lanes with a hit stop demanding banks entirely
@@ -946,8 +956,6 @@ def _kernel_bm_finish(flags_ref, seed_ref, st_ref, prm_ref, win_ref,
         t_row = win_ref[0:1, :]
         id_row = win_ref[1:2, :]
         pg_row = win_ref[2:3, :]
-        o3s = prm_ref[0:3, :]
-        d3s = prm_ref[3:6, :]
         S[ROW_T:ROW_T + 1, :] = t_row
         S[ROW_ID:ROW_ID + 1, :] = id_row
         S[ROW_NORM:TRACE_ROWS, :] = jnp.zeros_like(S[ROW_NORM:TRACE_ROWS, :])
@@ -978,10 +986,15 @@ def _kernel_bm_finish(flags_ref, seed_ref, st_ref, prm_ref, win_ref,
 
                 @pl.when(jnp.any(lanes_b[0:1, sl] > 0.0))
                 def _g(sl=sl):
-                    _bank_extract(plt_b, plts_b, b_f, o3s[:, sl],
-                                  d3s[:, sl], None, None,
-                                  id_row[0:1, sl], pg_row[0:1, sl], S, sl,
-                                  P)
+                    # group slices load FROM THE REFS (fresh layouts):
+                    # lane-offset value-slices of the preloaded rows feed
+                    # Mosaic a replicated {*,128} layout that cannot
+                    # broadcast to the [P, 128] predicate operands
+                    # ("Invalid input layout", chip compile)
+                    _bank_extract(plt_b, plts_b, b_f, prm_ref[0:3, sl],
+                                  prm_ref[3:6, sl], None, None,
+                                  win_ref[1:2, sl], win_ref[2:3, sl], S,
+                                  sl, P)
             tk = jnp.where(bank_iota == b_f, jnp.inf, tk)
             tkey_s[:] = tk
             return jnp.min(tk)

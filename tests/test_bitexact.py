@@ -80,8 +80,10 @@ def test_lights_fused_equals_unfused():
     from rust_raytrace_tpu.scene import LightSource
 
     # maxdepth 3: the fused-vs-unfused surface is PER-WAVE; three waves
-    # exercise wave-0 + bounce feelers without the depth-5 interpret wall
-    scene, vp = teapot.build(resolution=(48, 32), maxdepth=3)
+    # exercise wave-0 + bounce feelers without the depth-5 interpret wall.
+    # 32x24 @ rc=256 = 3 chunks — interpret cost is per grid step, and
+    # the surface is per-wave, not per-pixel (suite-wall bound, r4 item 8)
+    scene, vp = teapot.build(resolution=(32, 24), maxdepth=3)
     scene.lights = LightSource(orig=np.asarray([0.0, 18.0, 8.0],
                                                dtype=np.float32), len2=0.5)
     e1 = Engine(scene, page_size=64, ray_chunk=256, interpret=True,
