@@ -634,17 +634,21 @@ def _render_device_compact(st: SceneTensors, aabb_lo, aabb_hi, o, d, alive0,
             # at ANY scene size.  Lights/debug waves run the unfused rows
             # variant + the shared shadow/shade path below.
             if not has_lights and not (wave == 0 and want_primary):
-                # Bounce waves ride the BANK-MAJOR sweep (round 5): one
-                # table DMA per bank per wave instead of one per
-                # chunk-visit — scattered bounce chunks demand half the
-                # scene's banks each, so the worklist kernel re-read
-                # ~85 GB of tables per synthetic_1m render (probe_r15b;
-                # 881 of 974 ms in bounce waves).  Wave 0 keeps the
-                # worklist kernel: tile-coherent chunks demand ~1.7
-                # banks each and the front-to-back cut retires most of
-                # them early.  Bit-exact either way (test_streamed.py
-                # pins bank-major == worklist on every surface).
-                if wave > 0 and bank_major:
+                # DEEP bounce waves (>= 2) ride the BANK-MAJOR sweep: one
+                # table DMA per bank per wave + in-sweep winner
+                # extraction.  Wave-2+ origins are hit points of
+                # SCATTERED rays, so their chunks are spatially
+                # DECOHERENT and demand ~30 of the scene's 35 banks each
+                # (probe_r16b/d): the worklist kernel re-DMAs ~2.75 MB of
+                # tables per (chunk, bank) visit there (256 + 330 ms of
+                # synthetic_1m's 767, probe_r16b).  Waves 0-1 keep the
+                # worklist kernel: camera chunks are tile-coherent and
+                # wave-1 origins (wave-0 hit points) are still
+                # image-coherent — 1.7 / 6.9 bank visits per chunk, and
+                # the front-to-back cut retires most early (94 / 61 ms).
+                # Bit-exact either way (test_streamed.py pins bank-major
+                # == worklist on every surface).
+                if wave > 1 and bank_major:
                     state = trace_shade_bankmajor_pallas(
                         state, slt_i, slt_s, s_ab, s_bank_ab, seed,
                         page_size, rb_w, fixed_rng=fixed_rng,

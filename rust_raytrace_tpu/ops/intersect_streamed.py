@@ -65,6 +65,23 @@ from .pages import PACK_LANES, PageTables
 from .shade import _shade_state_rows, scatter_rv
 
 F32 = jnp.float32
+
+#: bank-major winner-stream rows: 0..10 = TRACE payload layout (t, id,
+#: extraction rows 2..10), 11 = best_pg, 12..15 pad.  Extraction rides the
+#: sweep (extraction-overwrite, the worklist kernel's own trick), so the
+#: finish phase never touches the bank tables.
+WN_ROWS = 16
+WN_PG = 11
+#: banks swept per grid step.  MEASURED: 1 is right.  A quad (4) was
+#: tried to amortize the per-visit row round trip — it LOST 3-4x
+#: (probe_r16f: coherent 73.6 -> 272.6 ms, decoherent 193.4 -> 588.8),
+#: because the sweep's cost unit is the GATED REGION, not the visit:
+#: both one-bank kernels match a ~1 us/evaluated-region model almost
+#: exactly (probe_r16e: worklist 24k visits x ~9 regions ~ 225 ms,
+#: bank-major 24k x 8 ~ 193 ms), and a quad multiplies regions per
+#: visit by 4 (+ nested extraction whens) while visits drop by less
+#: (a decoherent chunk demanding 30/35 banks demands EVERY quad).
+BANKS_PER_STEP = 1
 BF16 = jnp.bfloat16
 
 
@@ -110,15 +127,19 @@ def build_streamed_tables(pages: PageTables):
 
 
 def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
-                     P: int, any_hit: bool, extract_payload: bool):
+                     P: int, any_hit: bool, extract_payload: bool,
+                     pg_row: int = 2):
     """In-bank per-lane traversal for one 128-ray group, bank tables in
     VMEM scratch (`plt_b`/`plts_b` values), fine-page AABBs in `ab_b`
     ([128, lanes] value sliced at the bank's dynamic offset), dynamic bank
-    index `b_f` (f32 scalar).  Winner rides the sb scratch rows 0..2
-    (best_t/id/pg over the FULL chunk — this pass reads/writes its `sl`
-    columns); payload extraction OVERWRITES S rows for lanes whose running
-    winner is in this bank.  Math identical to intersect_perlane._group
-    (the bit-exactness contract's anchor)."""
+    index `b_f` (f32 scalar).  Winner rides the sb ref rows 0..1 + pg_row
+    (best_t/id at rows 0-1, best_pg at `pg_row` — the bank-major sweep
+    passes its [16, RB] winner stream as BOTH sb and S, with pg parked at
+    row 11 so extraction's payload rows 2..10 don't collide; the worklist
+    kernel keeps a separate [8, RB] sb with the default pg_row=2); this
+    pass reads/writes its `sl` columns.  Payload extraction OVERWRITES S
+    rows for lanes whose running winner is in this bank.  Math identical
+    to intersect_perlane._group (the bit-exactness contract's anchor)."""
     valid = a1[0:1, :] != 0.0
 
     page_f2 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP),
@@ -139,7 +160,7 @@ def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
 
     best_t = sb[0:1, sl]
     best_id = sb[1:2, sl]
-    best_pg = sb[2:3, sl]
+    best_pg = sb[pg_row:pg_row + 1, sl]
 
     tlo, thi, page_ok = _slab(ab_b, o3, d3)          # [128, 128]
     hit = (tlo <= thi) & (thi >= 0.0) & valid & page_ok
@@ -215,7 +236,7 @@ def _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3, d3, a1, excl, sb, S, sl,
 
     sb[0:1, sl] = best_t
     sb[1:2, sl] = best_id
-    sb[2:3, sl] = best_pg
+    sb[pg_row:pg_row + 1, sl] = best_pg
 
     if not extract_payload:
         return
@@ -817,26 +838,35 @@ def _kernel_bm_prep(flags_ref, st_ref, bank_ab_ref, prm_ref, win_ref,
         prm_ref[3:6, :] = d3
         prm_ref[6:7, :] = a1
         prm_ref[7:8, :] = dest
+        # [16, RB] winner stream: rows 0..10 = the TRACE_ROWS payload
+        # layout (t at 0, id at 1, extraction rows 2..10), best_pg parked
+        # at row 11, rows 12..15 pad
         win_ref[0:1, :] = jnp.where(valid, jnp.inf, -jnp.inf)
-        win_ref[1:8, :] = jnp.zeros_like(win_ref[1:8, :])
+        win_ref[1:WN_ROWS, :] = jnp.zeros_like(win_ref[1:WN_ROWS, :])
 
 
 def _kernel_bm_sweep(cc_ref, cl_ref, gml_ref, ab_ref, plt_ref, plts_ref,
-                     prm_hbm, win_in, win_out, pr0, pr1, wn0, wn1, S_dummy,
+                     prm_hbm, win_in, win_out, pr0, pr1, wn0, wn1,
                      spi, swi, swo, *, page_size: int, ray_chunk: int,
-                     nb8: int):
-    """Phase C: one grid step per bank; tables arrive as ordinary blocked
-    inputs (one DMA per bank per wave), ray/winner rows stream through a
-    manually double-buffered pipeline over the bank's demanded chunks."""
+                     nb8: int, bps: int):
+    """Phase C: one grid step per QUAD of banks (BANKS_PER_STEP); the
+    quad's tables arrive as ordinary blocked inputs (one DMA per bank per
+    wave), and ray/winner rows stream through a manually double-buffered
+    pipeline over the quad's demanded chunks — ONE [8+16, RB] row round
+    trip serves all `bps` banks' gated group passes (probe_r16e: the
+    per-visit overhead, not the row bytes, bounded the old one-bank
+    sweep).  Winner-payload extraction rides each pass
+    (extraction-overwrite on the [16, RB] stream), so the finish phase
+    never touches the bank tables (the old per-(chunk, winner-bank)
+    finish DMA was ~2.75 MB a pop, serial)."""
     P = page_size
     RB = ray_chunk
-    b = pl.program_id(0)
-    brow = jax.lax.rem(b, 8)
-    nv = cc_ref[brow, 0]
-    b_f = b.astype(F32)
-    plt_b = plt_ref[0]
-    plts_b = plts_ref[0]
-    ab_b = ab_ref[:]
+    q = pl.program_id(0)
+    qrow = jax.lax.rem(q, 8)
+    # gml block row base: each 8-row SMEM block holds 8 // bps steps'
+    # per-bank gate rows
+    grow = jax.lax.rem(q, 8 // bps) * bps
+    nv = cc_ref[qrow, 0]
 
     del win_in  # aliased to win_out; ALL reads go through the output ref
     # (reading the aliased input ref would see a stale pre-sweep copy in
@@ -856,35 +886,41 @@ def _kernel_bm_sweep(cc_ref, cl_ref, gml_ref, ab_ref, plt_ref, plts_ref,
         for cp in rd_pair(c, pr_s, wn_s, si):
             cp.start()
 
-    def visit(c, gm, pr_s, wn_s, si):
+    def visit(c, i, pr_s, wn_s, si):
         for cp in rd_pair(c, pr_s, wn_s, si):
             cp.wait()
         o3 = pr_s[0:3, :]
         d3 = pr_s[3:6, :]
         a1 = pr_s[6:7, :]
-        for g in range(RB // GROUP):
-            sl = slice(g * GROUP, (g + 1) * GROUP)
+        for bl in range(bps):
+            gm = gml_ref[grow + bl, i]
+            b_f = (q * bps + bl).astype(F32)
+            plt_b = plt_ref[bl]
+            plts_b = plts_ref[bl]
+            ab_b = ab_ref[bl * GROUP:(bl + 1) * GROUP, :]
+            for g in range(RB // GROUP):
+                sl = slice(g * GROUP, (g + 1) * GROUP)
 
-            @pl.when((gm // (1 << g)) % 2 == 1)
-            def _g(sl=sl):
-                _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3[:, sl],
-                                 d3[:, sl], a1[:, sl], None, wn_s,
-                                 S_dummy, sl, P, False,
-                                 extract_payload=False)
+                @pl.when((gm // (1 << g)) % 2 == 1)
+                def _g(sl=sl, b_f=b_f, plt_b=plt_b, plts_b=plts_b,
+                       ab_b=ab_b):
+                    _bank_group_pass(plt_b, plts_b, ab_b, b_f, o3[:, sl],
+                                     d3[:, sl], a1[:, sl], None, wn_s,
+                                     wn_s, sl, P, False,
+                                     extract_payload=True, pg_row=WN_PG)
         wr_copy(c, wn_s, si).start()
 
     @pl.when(nv > 0)
     def _run():
-        start_read(cl_ref[brow, 0], pr0, wn0, 0)
+        start_read(cl_ref[qrow, 0], pr0, wn0, 0)
 
         def body(i, pend):
             pend0, pend1 = pend
-            c = cl_ref[brow, i]
-            gm = gml_ref[brow, i]
+            c = cl_ref[qrow, i]
             s_is0 = jax.lax.rem(i, 2) == 0
             nxt = i + 1
             has_next = nxt < nv
-            c_next = cl_ref[brow, jnp.minimum(nxt, nv - 1)]
+            c_next = cl_ref[qrow, jnp.minimum(nxt, nv - 1)]
 
             # prepare the OTHER slot for visit i+1: drain its previous
             # write-out (the buffer is about to be overwritten), then
@@ -905,11 +941,11 @@ def _kernel_bm_sweep(cc_ref, cl_ref, gml_ref, ab_ref, plt_ref, plts_ref,
 
             @pl.when(s_is0)
             def _v0():
-                visit(c, gm, pr0, wn0, 0)
+                visit(c, i, pr0, wn0, 0)
 
             @pl.when(jnp.logical_not(s_is0))
             def _v1():
-                visit(c, gm, pr1, wn1, 1)
+                visit(c, i, pr1, wn1, 1)
 
             pend0 = jnp.where(s_is0, c,
                               jnp.where(has_next, jnp.int32(-1), pend0))
@@ -932,19 +968,18 @@ def _kernel_bm_sweep(cc_ref, cl_ref, gml_ref, ab_ref, plt_ref, plts_ref,
 
 
 def _kernel_bm_finish(flags_ref, seed_ref, st_ref, prm_ref, win_ref,
-                      plt_i_hbm, plt_s_hbm, out_ref, S, tkey_s, bi, bs,
-                      sem_i, sem_s, *, page_size: int, ray_chunk: int,
-                      nb8: int, fixed_rng: bool, weight_cutoff: float,
-                      sort_lanes: bool):
-    """Phase D: winner-payload extraction from each chunk's distinct
-    winner banks, un-permute, fused shade/scatter/state update."""
-    P = page_size
+                      out_ref, *, ray_chunk: int, fixed_rng: bool,
+                      weight_cutoff: float, sort_lanes: bool):
+    """Phase D: un-permute the winner stream + fused shade/scatter/state
+    update.  Payload extraction already happened IN the sweep
+    (extraction-overwrite on the winner stream), so this phase touches no
+    bank tables — the old per-(chunk, distinct-winner-bank) serial table
+    DMA (~2.75 MB a pop at P=224, ~tens of GB on waves whose re-hit rate
+    is high) is gone entirely."""
     RB = ray_chunk
     pid = pl.program_id(0)
     row = jax.lax.rem(pid, 8)
     live = flags_ref[row, 0] != 0
-    bank_iota = jax.lax.broadcasted_iota(jnp.int32, (nb8, RB),
-                                         0).astype(F32)
 
     @pl.when(jnp.logical_not(live))
     def _skip():
@@ -953,56 +988,14 @@ def _kernel_bm_finish(flags_ref, seed_ref, st_ref, prm_ref, win_ref,
     @pl.when(live)
     def _busy():
         st = st_ref[:]
-        t_row = win_ref[0:1, :]
-        id_row = win_ref[1:2, :]
-        pg_row = win_ref[2:3, :]
-        S[ROW_T:ROW_T + 1, :] = t_row
-        S[ROW_ID:ROW_ID + 1, :] = id_row
-        S[ROW_NORM:TRACE_ROWS, :] = jnp.zeros_like(S[ROW_NORM:TRACE_ROWS, :])
-        has = id_row != 0.0
-        wb = jnp.floor(pg_row / F32(GROUP))
-        tkey_s[:] = jnp.where((bank_iota == wb) & has, F32(0.0), jnp.inf)
-
-        def cond(m):
-            return m < jnp.inf
-
-        def body(m):
-            tk = tkey_s[:]
-            b_f = jnp.min(jnp.where(tk < jnp.inf, bank_iota, F32(nb8)))
-            b = b_f.astype(jnp.int32)
-            cp_i = pltpu.make_async_copy(plt_i_hbm.at[b], bi, sem_i)
-            cp_s = pltpu.make_async_copy(plt_s_hbm.at[b], bs, sem_s)
-            cp_i.start()
-            cp_s.start()
-            lanes_b = jnp.sum(
-                jnp.where((bank_iota == b_f) & (tk < jnp.inf), F32(1.0),
-                          F32(0.0)), axis=0, keepdims=True)
-            cp_i.wait()
-            cp_s.wait()
-            plt_b = bi[:]
-            plts_b = bs[:]
-            for g in range(RB // GROUP):
-                sl = slice(g * GROUP, (g + 1) * GROUP)
-
-                @pl.when(jnp.any(lanes_b[0:1, sl] > 0.0))
-                def _g(sl=sl):
-                    # group slices load FROM THE REFS (fresh layouts):
-                    # lane-offset value-slices of the preloaded rows feed
-                    # Mosaic a replicated {*,128} layout that cannot
-                    # broadcast to the [P, 128] predicate operands
-                    # ("Invalid input layout", chip compile)
-                    _bank_extract(plt_b, plts_b, b_f, prm_ref[0:3, sl],
-                                  prm_ref[3:6, sl], None, None,
-                                  win_ref[1:2, sl], win_ref[2:3, sl], S,
-                                  sl, P)
-            tk = jnp.where(bank_iota == b_f, jnp.inf, tk)
-            tkey_s[:] = tk
-            return jnp.min(tk)
-
-        jax.lax.while_loop(cond, body, jnp.min(tkey_s[:]))
-
-        rows = (_gather_lanes(S[:], prm_ref[7:8, :], RB)
-                if sort_lanes else S[:])
+        w = win_ref[:]
+        # rows 0..10 carry the TRACE payload layout; the worklist kernel's
+        # contract zeroes rows 11..15 (best_pg parks at WN_PG) — rebuild
+        # that exact shape so the shade inputs are bitwise identical
+        vals = jnp.concatenate(
+            [w[0:WN_PG], jnp.zeros((TRACE_ROWS - WN_PG, RB), F32)], axis=0)
+        rows = (_gather_lanes(vals, prm_ref[7:8, :], RB)
+                if sort_lanes else vals)
         rv0, rv1, rv2 = scatter_rv(seed_ref[0, 0], seed_ref[0, 1], pid,
                                    RB, fixed_rng)
         out_ref[:] = _shade_state_rows(st, rows, rv0, rv1, rv2, None,
@@ -1022,9 +1015,10 @@ def trace_shade_bankmajor_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
     Same contract as trace_shade_streamed_pallas (bit-exact equal to it —
     tests/test_streamed.py), but bank tables are DMA'd once per BANK per
     wave instead of once per chunk-visit: the scattered-bounce regime's
-    table traffic drops from O(visits) x 0.7 MB to O(banks) x 0.7 MB
-    (~85 GB -> ~0.1 GB per synthetic_1m render), with the per-visit
-    stream reduced to the 96 KB of ray/winner rows."""
+    table traffic drops from O(visits) x MB to O(banks) x MB, with the
+    per-visit stream reduced to [8 + 16, RB] of ray/winner rows (~96 KB)
+    shared by a QUAD of banks per visit (BANKS_PER_STEP), and winner
+    payload extracted in-sweep so the finish phase is table-free."""
     if sort_lanes is None:
         sort_lanes = ray_chunk >= 2 * GROUP
     assert ray_chunk % GROUP == 0
@@ -1071,7 +1065,7 @@ def trace_shade_bankmajor_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
             out_specs=[
                 pl.BlockSpec((8, RB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, RB), lambda i: (0, i),
+                pl.BlockSpec((WN_ROWS, RB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((NB8, 128), lambda i: (0, i // 128),
                              memory_space=pltpu.VMEM),
@@ -1079,42 +1073,53 @@ def trace_shade_bankmajor_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
             scratch_shapes=sort_scratch,
         ),
         out_shape=[jax.ShapeDtypeStruct((8, R), F32),
-                   jax.ShapeDtypeStruct((8, R), F32),
+                   jax.ShapeDtypeStruct((WN_ROWS, R), F32),
                    jax.ShapeDtypeStruct((NB8, NCp), jnp.int32)],
         interpret=interpret,
     )(flags, state.astype(F32), bank_ab)
 
     # --- phase B: glue (chunk x bank scale, no ray-scale ops) ---
-    ci = jax.lax.broadcasted_iota(jnp.int32, (NB8, NC), 1)
-    dm = (gm[:, :NC] != 0) & (ci < live_n)
-    ccount = jnp.sum(dm, axis=1).astype(jnp.int32)           # [NB8]
-    order = jnp.argsort(jnp.where(dm, 0, 1), axis=1,
+    # QUAD aggregation: the sweep visits BANKS_PER_STEP banks per grid
+    # step, so the demand list / chunk order / visit counts are per QUAD
+    # (OR of its banks' demand), while the per-(bank, group) gate bits
+    # stay per bank, gathered into the quad's chunk order.
+    BPS = BANKS_PER_STEP
+    NQ = -(-NB // BPS)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (NQ, NC), 1)
+    gq = gm[:NQ * BPS, :NC].reshape(NQ, BPS, NC)
+    dmq = jnp.any(gq != 0, axis=1) & (ci < live_n)           # [NQ, NC]
+    ccount = jnp.sum(dmq, axis=1).astype(jnp.int32)          # [NQ]
+    order = jnp.argsort(jnp.where(dmq, 0, 1), axis=1,
                         stable=True).astype(jnp.int32)       # demand-first
-    gml = jnp.take_along_axis(gm[:, :NC], order, axis=1)
-    cc8 = jnp.zeros((NB8, 128), jnp.int32).at[:, 0].set(ccount)
+    gmlq = jnp.take_along_axis(gq, order[:, None, :], axis=2)
+    NQ8 = -(-NQ // 8) * 8
+    NQB8 = -(-(NQ * BPS) // 8) * 8
+    cc8 = jnp.zeros((NQ8, 128), jnp.int32).at[:NQ, 0].set(ccount)
     NCs = -(-NC // 128) * 128
-    cl_s = jnp.zeros((NB8, NCs), jnp.int32).at[:, :NC].set(order)
-    gm_s = jnp.zeros((NB8, NCs), jnp.int32).at[:, :NC].set(gml)
+    cl_s = jnp.zeros((NQ8, NCs), jnp.int32).at[:NQ, :NC].set(order)
+    gm_s = jnp.zeros((NQB8, NCs), jnp.int32).at[:NQ * BPS, :NC].set(
+        gmlq.reshape(NQ * BPS, NC))
 
-    # --- phase C: bank-major sweep ---
+    # --- phase C: bank-major sweep (quad grid) ---
     win = pl.pallas_call(
         functools.partial(_kernel_bm_sweep, page_size=P, ray_chunk=RB,
-                          nb8=NB8),
+                          nb8=NB8, bps=BPS),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(NB,),
+            grid=(NQ,),
             in_specs=[
                 pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((8, NCs), lambda i: (i // 8, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((8, NCs), lambda i: (i // 8, 0),
+                # 8 // BPS steps' per-bank gate rows per 8-row SMEM block
+                pl.BlockSpec((8, NCs), lambda i: (i // (8 // BPS), 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((GROUP, PACK_LANES), lambda i: (i, 0),
+                pl.BlockSpec((BPS * GROUP, PACK_LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N_INT * P, GROUP), lambda i: (i, 0, 0),
+                pl.BlockSpec((BPS, N_INT * P, GROUP), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N_SHD * P, GROUP), lambda i: (i, 0, 0),
+                pl.BlockSpec((BPS, N_SHD * P, GROUP), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -1123,23 +1128,22 @@ def trace_shade_bankmajor_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
             scratch_shapes=[
                 pltpu.VMEM((8, RB), F32),                    # pr0
                 pltpu.VMEM((8, RB), F32),                    # pr1
-                pltpu.VMEM((8, RB), F32),                    # wn0
-                pltpu.VMEM((8, RB), F32),                    # wn1
-                pltpu.VMEM((TRACE_ROWS, RB), F32),           # S (unused)
+                pltpu.VMEM((WN_ROWS, RB), F32),              # wn0
+                pltpu.VMEM((WN_ROWS, RB), F32),              # wn1
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((8, R), F32)],
+        out_shape=[jax.ShapeDtypeStruct((WN_ROWS, R), F32)],
         input_output_aliases={7: 0},
         interpret=interpret,
     )(cc8, cl_s, gm_s, ab, plt_i, plt_s, prm, win0)[0]
 
-    # --- phase D: finish (chunk-major): extraction + unsort + shade ---
+    # --- phase D: finish (chunk-major): unsort + shade (no tables) ---
     out = pl.pallas_call(
-        functools.partial(_kernel_bm_finish, page_size=P, ray_chunk=RB,
-                          nb8=NB8, fixed_rng=fixed_rng,
+        functools.partial(_kernel_bm_finish, ray_chunk=RB,
+                          fixed_rng=fixed_rng,
                           weight_cutoff=weight_cutoff,
                           sort_lanes=sort_lanes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1154,24 +1158,15 @@ def trace_shade_bankmajor_pallas(state, plt_i, plt_s, ab, bank_ab, seed,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, RB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, RB), lambda i: (0, i),
+                pl.BlockSpec((WN_ROWS, RB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[pl.BlockSpec((STATE_ROWS, RB), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)],
-            scratch_shapes=[
-                pltpu.VMEM((TRACE_ROWS, RB), F32),           # S
-                pltpu.VMEM((NB8, RB), F32),                  # tkey
-                pltpu.VMEM((N_INT * P, GROUP), F32),         # bank buf
-                pltpu.VMEM((N_SHD * P, GROUP), F32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=[],
         ),
         out_shape=[jax.ShapeDtypeStruct((STATE_ROWS, R), F32)],
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(flags, seed2, state.astype(F32), prm, win, plt_i, plt_s)[0]
+    )(flags, seed2, state.astype(F32), prm, win)[0]
     return out
